@@ -1,0 +1,847 @@
+"""MCL engine (reference layer L6: src/mcl_3dl.cpp, class MCL3dlNode).
+
+The ROS node's callback spaghetti becomes a host-side shell around a few
+fused, jit-compiled device steps:
+
+* :meth:`MCL3DL.odometry`   — cbOdom (src/mcl_3dl.cpp:200-247)
+* :meth:`MCL3DL.imu`        — cbImu (:941-1018)
+* :meth:`MCL3DL.push_cloud` — cbCloud + accumulation (:248-302)
+* the **measurement step**  — measure() (:304-898), one jit-compiled
+  graph covering scan clipping/sampling, both LIDAR models, the
+  odometry-error prior, weight update + rollback, bias, pose
+  expectation, jump detection, TF smoothing, covariance, convergence
+  classification, resampling, noise redraw, expansion resetting, and
+  global-localization particle decay — zero host round-trips inside.
+* services — initialpose (:155-198), landmark (:899-940), resize
+  (:1019-1025), expansion reset (:1026-1038), global localization
+  (:1039-1099), load map (:127-140, :1150-1192), map update merge
+  (:1350-1378).
+
+Dynamic particle counts use fixed-capacity arrays + an active count, so
+the hot step never recompiles; capacity itself grows/shrinks in
+power-of-two buckets on the host (one compile per bucket, cached).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcl_3dl_tpu import pf
+from mcl_3dl_tpu import state as st
+from mcl_3dl_tpu.cloud_accum import CloudAccumulation, CloudAccumulationPassThrough
+from mcl_3dl_tpu.config import Params
+from mcl_3dl_tpu.map.map_data import MapData
+from mcl_3dl_tpu.map.voxel import voxel_downsample
+from mcl_3dl_tpu.math import filters as mf
+from mcl_3dl_tpu.math import quat as mq
+from mcl_3dl_tpu.math.nd import NormalLikelihoodNd, normal_likelihood
+from mcl_3dl_tpu.models.beam import beam_measure
+from mcl_3dl_tpu.models.imu_gravity import imu_gravity_likelihood
+from mcl_3dl_tpu.models.landmark import landmark_likelihood
+from mcl_3dl_tpu.models.likelihood import clip_mask, likelihood_measure
+from mcl_3dl_tpu.models.motion import (
+    OdomDelta,
+    predict_differential_drive,
+    reset_error_integrals,
+)
+from mcl_3dl_tpu.models.samplers import (
+    estimate_normals_host,
+    sample_uniform,
+    sample_weighted_without_replacement,
+    sampler_with_normal_weights,
+)
+from mcl_3dl_tpu.state import ParticleState
+from mcl_3dl_tpu.status import (
+    ConvergenceStatus,
+    Diagnostics,
+    ErrorCode,
+    FilterStatus,
+    MeasureResult,
+    Status,
+)
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _bucket(n: int, base: int = 64) -> int:
+    """Round up to a power-of-two capacity bucket (compile-count bound)."""
+    c = max(base, 1)
+    while c < n:
+        c *= 2
+    return c
+
+
+class MCL3DL:
+    """TPU-native 6-DOF Monte Carlo localizer."""
+
+    def __init__(self, params: Optional[Params] = None, capacity: Optional[int] = None):
+        self.params = params or Params()
+        p = self.params
+        self._base_capacity = _bucket(p.num_particles)
+        self._key = jax.random.PRNGKey(p.seed)
+
+        # pf_->init with the initial pose (src/mcl_3dl.cpp:1272-1276)
+        mean_pos, mean_rpy = p.initial_pose_mean
+        self.pstate = st.init_diagonal(
+            self._next_key(),
+            capacity or self._base_capacity,
+            p.num_particles,
+            jnp.asarray(mean_pos, jnp.float32),
+            jnp.asarray(mean_rpy, jnp.float32),
+            jnp.asarray(p.initial_pose_sigma, jnp.float32),
+        )
+
+        # output / accel smoothing filters (src/mcl_3dl.cpp:1278-1289)
+        self.f_pos = mf.lpf_init(p.lpf_step, jnp.zeros(3))
+        self.f_ang = mf.lpf_init(p.lpf_step, jnp.zeros(3), angle=True)
+        self.f_acc = mf.lpf_init(p.acc_lpf_step, jnp.zeros(3))
+        self.localize_rate = mf.lpf_init(5.0, 0.0)  # :1300
+
+        if p.accum_cloud == 0:
+            self.accum = CloudAccumulationPassThrough()
+        else:
+            self.accum = CloudAccumulation(p.accum_cloud, p.total_accum_cloud_max)
+
+        self.map: Optional[MapData] = None
+        self.has_map = False
+        self.has_odom = False
+        self.has_imu = False
+        self.odom_pos = np.zeros(3, np.float32)
+        self.odom_rot = np.array([0, 0, 0, 1], np.float32)
+        self.odom_prev_pos = np.zeros(3, np.float32)
+        self.odom_prev_rot = np.array([0, 0, 0, 1], np.float32)
+        self.odom_last: float = 0.0
+        self.imu_last: float = 0.0
+        self.imu_quat = np.array([0, 0, 0, 1], np.float32)
+
+        self.state_prev_pos = jnp.asarray(mean_pos, jnp.float32)
+        self.state_prev_rot = mq.from_rpy(jnp.asarray(mean_rpy, jnp.float32))
+
+        self.tf_tolerance_base = 0.0
+        self.localized_last: float = 0.0
+        self.global_localization_fix_cnt = 0
+        self.cnt_measure = 0
+        self.match_output_last = -1e18
+        self.status = Status()
+        self.entropy = 0.0
+
+        # accumulated scan (odom frame) — accumClear (:267-272)
+        self._accum_points: list[np.ndarray] = []
+        self._accum_origins: list[np.ndarray] = []
+        self._pc_all_accum: list[np.ndarray] = []
+
+        self._step_cache: dict = {}
+        self._predict_jit = jax.jit(
+            partial(
+                predict_differential_drive,
+                odom_err_integ_lin_tc=p.odom_err_integ_lin_tc,
+                odom_err_integ_ang_tc=p.odom_err_integ_ang_tc,
+            )
+        )
+        self._imu_jit = jax.jit(self._imu_step)
+        self._resample_sigma = jnp.asarray(
+            [p.resample_var_x, p.resample_var_y, p.resample_var_z,
+             p.resample_var_roll, p.resample_var_pitch, p.resample_var_yaw],
+            jnp.float32,
+        )
+        self._expansion_sigma = jnp.asarray(
+            [p.expansion_var_x, p.expansion_var_y, p.expansion_var_z,
+             p.expansion_var_roll, p.expansion_var_pitch, p.expansion_var_yaw],
+            jnp.float32,
+        )
+
+    # ------------------------------------------------------------------ utils
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _grow_capacity(self, n: int) -> None:
+        """Grow particle arrays to a bucket >= n (pads inactive slots)."""
+        cap = self.pstate.capacity
+        new_cap = _bucket(n, self._base_capacity)
+        if new_cap <= cap:
+            return
+        pad = new_cap - cap
+        s = self.pstate
+        self.pstate = ParticleState(
+            pos=jnp.pad(s.pos, ((0, pad), (0, 0))),
+            rot=jnp.concatenate(
+                [s.rot, jnp.broadcast_to(mq.identity(), (pad, 4))]
+            ),
+            odom_err_lin=jnp.pad(s.odom_err_lin, ((0, pad), (0, 0))),
+            odom_err_ang=jnp.pad(s.odom_err_ang, ((0, pad), (0, 0))),
+            noise=jnp.pad(s.noise, ((0, pad), (0, 0))),
+            prob=jnp.pad(s.prob, (0, pad)),
+            prob_bias=jnp.pad(s.prob_bias, (0, pad), constant_values=1.0),
+            n_active=s.n_active,
+        )
+
+    def _maybe_shrink_capacity(self) -> None:
+        """Compact back to the base bucket once global localization decays."""
+        n = int(self.pstate.n_active)
+        target = _bucket(n, self._base_capacity)
+        if self.pstate.capacity > target:
+            s = self.pstate
+            self.pstate = jax.tree.map(
+                lambda a: a[:target] if getattr(a, "ndim", 0) >= 1 else a, s
+            )._replace(n_active=s.n_active)
+
+    # ---------------------------------------------------------------- map I/O
+
+    def load_map(self, points: np.ndarray, labels: Optional[np.ndarray] = None):
+        """cbMapcloud / loadMapCloud (src/mcl_3dl.cpp:127-140, 1150-1170)."""
+        self.map = MapData.build(points, self.params, labels)
+        self.has_map = True
+        self._accum_clear()
+        self.accum.reset()
+        self._step_cache.clear()
+        return self.map
+
+    def update_map(self, points: np.ndarray, labels: Optional[np.ndarray] = None):
+        """cbMapcloudUpdate + merge timer (src/mcl_3dl.cpp:141-153, 1350-1369).
+
+        The update cloud is downsampled at the update leaf size and merged
+        into the compiled map.
+        """
+        if self.map is None:
+            return None
+        p = self.params
+        pts = np.asarray(points, np.float64).reshape(-1, 3)
+        if labels is None:
+            labels = np.zeros((pts.shape[0],), np.uint32)
+        pts, attrs = voxel_downsample(
+            pts,
+            (p.update_downsample_x, p.update_downsample_y, p.update_downsample_z),
+            attrs=np.asarray(labels, np.float64)[:, None],
+        )
+        self.map = self.map.merged_with(pts, np.round(attrs[:, 0]).astype(np.uint32))
+        self._step_cache.clear()
+        return self.map
+
+    # ------------------------------------------------------------- pose seeds
+
+    def initial_pose(self, pos, rot, cov66) -> None:
+        """initialpose re-seed (cbPosition, src/mcl_3dl.cpp:155-198)."""
+        rot = np.asarray(rot, np.float64)
+        if abs(float(np.sum(rot * rot)) - 1.0) > 0.1:
+            raise ValueError("initialpose orientation must be a unit quaternion")
+        rpy = np.asarray(mq.to_rpy(jnp.asarray(rot, jnp.float32)))
+        cap = self.pstate.capacity
+        self.pstate = st.init_multivariate(
+            self._next_key(), cap, self.params.num_particles,
+            jnp.asarray(pos, jnp.float32), jnp.asarray(rpy, jnp.float32),
+            jnp.asarray(cov66, jnp.float32),
+        )
+        self.pstate = reset_error_integrals(self.pstate)
+        self.state_prev_pos = jnp.asarray(pos, jnp.float32)
+        self.state_prev_rot = jnp.asarray(rot, jnp.float32)
+        self._maybe_shrink_capacity()
+
+    # ------------------------------------------------------------ odom / imu
+
+    def odometry(self, pos, rot, t: float) -> None:
+        """cbOdom (src/mcl_3dl.cpp:200-247)."""
+        pos = np.asarray(pos, np.float32)
+        rot = np.asarray(rot, np.float32)
+        self.odom_pos, self.odom_rot = pos, rot
+        if not self.has_odom:
+            self.odom_prev_pos, self.odom_prev_rot = pos, rot
+            self.odom_last = t
+            self.has_odom = True
+            return
+        dt = t - self.odom_last
+        if dt < 0.0 or dt > 5.0:
+            self.has_odom = False
+            return
+        if dt > 0.05:
+            delta = OdomDelta.from_poses(
+                jnp.asarray(self.odom_prev_pos), jnp.asarray(self.odom_prev_rot),
+                jnp.asarray(pos), jnp.asarray(rot), dt,
+            )
+            self.pstate = self._predict_jit(self.pstate, delta)
+            self.odom_last = t
+            self.odom_prev_pos, self.odom_prev_rot = pos, rot
+        if self.params.fake_imu:
+            accel = np.asarray(mq.rotate(jnp.asarray(rot), jnp.asarray([0.0, 0.0, 1.0], jnp.float32)))
+            self.imu(accel, rot, t)
+
+    def _imu_step(self, state: ParticleState, acc_measure):
+        lik = imu_gravity_likelihood(state.rot, acc_measure, self.params.acc_var)
+        new_state, _ = pf.measure(state, lik)
+        return new_state
+
+    def imu(self, acc, orientation, t: float) -> None:
+        """cbImu (src/mcl_3dl.cpp:941-1018).
+
+        ``acc`` and ``orientation`` must already be in the base_link frame
+        (the replay adapter applies the static sensor transform the node
+        gets from TF at :966-995).
+        """
+        self.f_acc, acc_f = mf.filter_step(self.f_acc, jnp.asarray(acc, jnp.float32))
+        if not self.has_imu:
+            self.f_acc = mf.filter_set(self.f_acc, jnp.zeros(3))
+            self.imu_last = t
+            self.has_imu = True
+            return
+        dt = t - self.imu_last
+        if dt < 0.0 or dt > 5.0:
+            self.has_imu = False
+            return
+        if dt > 0.05:
+            acc_measure = acc_f / jnp.linalg.norm(acc_f)
+            self.imu_quat = np.asarray(orientation, np.float32)
+            self.pstate = self._imu_jit(self.pstate, acc_measure)
+            self.imu_last = t
+            if self.params.fake_odom:
+                self.odometry(np.zeros(3, np.float32), self.imu_quat, t)
+
+    # ----------------------------------------------------------- scan intake
+
+    def _accum_clear(self) -> None:
+        self._accum_points = []
+        self._accum_origins = []
+
+    def push_cloud(
+        self,
+        frame_id: str,
+        points_odom: np.ndarray,
+        sensor_origin_odom: np.ndarray,
+        t: float,
+    ) -> Optional[MeasureResult]:
+        """cbCloud (src/mcl_3dl.cpp:248-302).
+
+        ``points_odom``: scan points already transformed into the odom
+        frame (the node does this with TF in accumCloud, :274-302);
+        ``sensor_origin_odom``: sensor position in the odom frame.
+        Returns a MeasureResult when this cloud triggered a measurement.
+        """
+        if not self.has_map:
+            return None
+        self.status = Status(
+            status=FilterStatus.NORMAL,
+            error=ErrorCode.NORMAL,
+            convergence_status=ConvergenceStatus.NORMAL,
+        )
+        result: list[Optional[MeasureResult]] = [None]
+
+        def process():
+            result[0] = self._measure(t)
+
+        def accumulate(msg):
+            pts, origin = msg
+            self._accum_points.append(np.asarray(pts, np.float64).reshape(-1, 3))
+            self._accum_origins.append(np.asarray(origin, np.float64).reshape(3))
+            return True
+
+        self.accum.push(
+            frame_id, (points_odom, sensor_origin_odom),
+            process, accumulate, self._accum_clear,
+        )
+        return result[0]
+
+    def measure_direct(
+        self, points_base: np.ndarray, origins_base: np.ndarray,
+        labels: np.ndarray, t: float,
+    ) -> Optional[MeasureResult]:
+        """Run a measurement on a base_link-frame cloud directly (test API)."""
+        return self._measure_base(points_base, labels, origins_base, t)
+
+    def _measure(self, t: float) -> Optional[MeasureResult]:
+        """measure() preamble (src/mcl_3dl.cpp:304-360): frame transform +
+        origin collection, then the fused device step."""
+        self.cnt_measure += 1
+        if self.cnt_measure % max(int(self.params.skip_measure), 1) != 0:
+            return None
+        if not self._accum_points:
+            self.status.error = ErrorCode.POINTS_NOT_FOUND
+            return None
+
+        # odom -> base_link with the current odom pose (the node uses TF
+        # at the scan stamp; the engine's odom state is that transform).
+        inv_rot = np.asarray(mq.inv(jnp.asarray(self.odom_rot)))
+        pts = np.concatenate(self._accum_points, axis=0)
+        labels = np.concatenate(
+            [np.full((len(p),), i, np.int32)
+             for i, p in enumerate(self._accum_points)]
+        )
+        pts_base = np.asarray(
+            mq.rotate(jnp.asarray(inv_rot, jnp.float32),
+                      jnp.asarray(pts - self.odom_pos, jnp.float32))
+        )
+        origins = np.stack(self._accum_origins, axis=0)
+        origins_base = np.asarray(
+            mq.rotate(jnp.asarray(inv_rot, jnp.float32),
+                      jnp.asarray(origins - self.odom_pos, jnp.float32))
+        )
+        return self._measure_base(pts_base, labels, origins_base, t)
+
+    # ------------------------------------------------------- measurement step
+
+    def _measure_base(self, pts_base, labels, origins_base, t) -> MeasureResult:
+        p = self.params
+        ts = time.monotonic()
+
+        # VoxelGrid downsample (src/mcl_3dl.cpp:363-367)
+        pts_ds, attrs = voxel_downsample(
+            pts_base, (p.downsample_x, p.downsample_y, p.downsample_z),
+            attrs=np.asarray(labels, np.float64)[:, None],
+        )
+        lbl_ds = np.round(attrs[:, 0]).astype(np.int32)
+
+        n_pts = pts_ds.shape[0]
+        bucket = _bucket(max(n_pts, 1), 256)
+        cloud = np.zeros((bucket, 3), np.float32)
+        cloud[:n_pts] = pts_ds
+        cloud_label = np.zeros((bucket,), np.int32)
+        cloud_label[:n_pts] = np.clip(lbl_ds, 0, max(len(origins_base) - 1, 0))
+        cloud_valid = np.zeros((bucket,), bool)
+        cloud_valid[:n_pts] = True
+
+        if p.use_random_sampler_with_normal:
+            normals = np.zeros((bucket, 3), np.float32)
+            normals[:n_pts] = estimate_normals_host(
+                pts_ds, p.random_sampler_with_normal.normal_search_range
+            )
+        else:
+            normals = np.zeros((bucket, 3), np.float32)
+
+        n_origins = max(len(origins_base), 1)
+        origins_arr = np.zeros((n_origins, 3), np.float32)
+        if len(origins_base):
+            origins_arr[: len(origins_base)] = origins_base
+
+        step = self._get_step(self.pstate.capacity, bucket, n_origins)
+        (self.pstate, self.f_pos, self.f_ang, self.state_prev_pos,
+         self.state_prev_rot, aux) = step(
+            self.pstate,
+            self._next_key(),
+            self.map.df, self.map.df_beam, self.map.occ,
+            jnp.asarray(cloud), jnp.asarray(cloud_label),
+            jnp.asarray(cloud_valid), jnp.asarray(normals),
+            jnp.asarray(origins_arr),
+            jnp.asarray(self.odom_pos), jnp.asarray(self.odom_rot),
+            self.state_prev_pos, self.state_prev_rot,
+            self.f_pos, self.f_ang,
+            jnp.asarray(self.global_localization_fix_cnt > 0),
+        )
+        aux = jax.device_get(aux)
+
+        if aux["points_not_found"]:
+            self.status.error = ErrorCode.POINTS_NOT_FOUND
+            return MeasureResult(status=self.status, elapsed=time.monotonic() - ts)
+
+        # host-side epilogue (src/mcl_3dl.cpp:853-897)
+        if aux["expanded"]:
+            self.status.status = FilterStatus.EXPANSION_RESETTING
+
+        dt = min(max(t - self.localized_last, 0.0), 1.0)
+        self.localize_rate, tol = mf.filter_step(self.localize_rate, dt)
+        self.tf_tolerance_base = float(tol)
+        self.localized_last = t
+
+        if aux["did_resize"]:
+            # wait 99.7% fix — three sigma (src/mcl_3dl.cpp:886-887)
+            self.global_localization_fix_cnt = 1 + int(math.ceil(p.lpf_step)) * 3
+            self._maybe_shrink_capacity()
+        if self.global_localization_fix_cnt:
+            self.global_localization_fix_cnt -= 1
+            self.status.status = FilterStatus.GLOBAL_LOCALIZATION
+
+        if aux["large_std"]:
+            self.status.convergence_status = ConvergenceStatus.LARGE_STD_VALUE
+        elif aux["converged"]:
+            self.status.convergence_status = ConvergenceStatus.CONVERGED
+
+        self.entropy = float(aux["entropy"])
+        self.status.match_ratio = float(aux["match_ratio_max"])
+        self.status.particle_size = int(self.pstate.n_active)
+        self.status.entropy = self.entropy
+
+        if p.output_pcd:
+            e_rot = jnp.asarray(aux["pub_rot"])
+            moved = np.asarray(
+                mq.rotate(e_rot, jnp.asarray(pts_ds)) + jnp.asarray(aux["pub_pos"])
+            )
+            self._pc_all_accum.append(moved)
+
+        return MeasureResult(
+            pos=aux["pub_pos"], rot=aux["pub_rot"], cov=aux["cov"],
+            map_to_odom_pos=aux["map_to_odom_pos"],
+            map_to_odom_rot=aux["map_to_odom_rot"],
+            raw_pos=aux["e_pos"], raw_rot=aux["e_rot"],
+            match_ratio_min=float(aux["match_ratio_min"]),
+            match_ratio_max=float(aux["match_ratio_max"]),
+            entropy=self.entropy,
+            jumped=bool(aux["jumped"]), expanded=bool(aux["expanded"]),
+            converged=bool(aux["converged"]), large_std=bool(aux["large_std"]),
+            particle_size=int(self.pstate.n_active),
+            status=self.status,
+            elapsed=time.monotonic() - ts,
+        )
+
+    def _get_step(self, capacity: int, cloud_bucket: int, n_origins: int):
+        key = (capacity, cloud_bucket, n_origins)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(self._measurement_step)
+        return self._step_cache[key]
+
+    def _measurement_step(
+        self, state, key, df, df_beam, occ,
+        cloud, cloud_label, cloud_valid, normals, origins,
+        odom_pos, odom_rot, prev_pos, prev_rot,
+        f_pos, f_ang, is_global_fix,
+    ):
+        """The fused measurement update (src/mcl_3dl.cpp:363-893 on device)."""
+        p = self.params
+        lp, bp = p.likelihood, p.beam
+        k_like, k_beam, k_resample, k_noise, k_expand = jax.random.split(key, 5)
+        mask = state.active_mask()
+        nf32 = state.n_active.astype(jnp.float32)
+
+        # global-localization point-count shrink (setGlobalLocalizationStatus,
+        # lidar_measurement_model_likelihood.cpp:63-77)
+        def active_points(default, global_min):
+            num = default * p.num_particles // jnp.maximum(state.n_active, 1)
+            num = jnp.maximum(num, global_min)
+            return jnp.where(state.n_active <= p.num_particles, default, num)
+
+        # --- clip + sample (filter(), likelihood .cpp:79-103 / beam :98-122)
+        like_keep = cloud_valid & clip_mask(
+            cloud, lp.clip_near, lp.clip_far, lp.clip_z_min, lp.clip_z_max
+        )
+        beam_keep = cloud_valid & clip_mask(
+            cloud, bp.clip_near, bp.clip_far, bp.clip_z_min, bp.clip_z_max
+        )
+        points_not_found = jnp.sum(like_keep) == 0
+
+        if p.use_random_sampler_with_normal:
+            sw = p.random_sampler_with_normal
+            cov_prev = pf.covariance(state)
+            weights = sampler_with_normal_weights(
+                normals, like_keep, cov_prev[:3, :3],
+                sw.perform_weighting_ratio, sw.max_weight_ratio, sw.max_weight,
+            )
+            like_pts, like_ok, like_idx = sample_weighted_without_replacement(
+                k_like, cloud, weights, lp.num_points
+            )
+            bweights = sampler_with_normal_weights(
+                normals, beam_keep, cov_prev[:3, :3],
+                sw.perform_weighting_ratio, sw.max_weight_ratio, sw.max_weight,
+            )
+            beam_pts, beam_ok, beam_idx = sample_weighted_without_replacement(
+                k_beam, cloud, bweights, bp.num_points
+            )
+        else:
+            like_pts, like_ok, like_idx = sample_uniform(
+                k_like, cloud, like_keep, lp.num_points
+            )
+            beam_pts, beam_ok, beam_idx = sample_uniform(
+                k_beam, cloud, beam_keep, bp.num_points
+            )
+
+        n_like = active_points(lp.num_points, lp.num_points_global)
+        like_valid = like_ok & (
+            jnp.arange(lp.num_points, dtype=jnp.int32) < n_like
+        )
+        n_beam = active_points(bp.num_points, bp.num_points_global)
+        beam_valid = beam_ok & (
+            jnp.arange(bp.num_points, dtype=jnp.int32) < n_beam
+        )
+        beam_labels = cloud_label[beam_idx]
+
+        # --- per-particle likelihoods (measure_func, src/mcl_3dl.cpp:402-425)
+        lik_l, qual_l = likelihood_measure(
+            df, state.pos, state.rot, like_pts, like_valid,
+            lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
+        )
+        if p.use_beam_model:
+            num_steps = int(
+                math.ceil(
+                    (bp.clip_far + bp.hit_range)
+                    / (bp.dda_grid_size * 0.5 if bp.use_raycast_using_dda
+                       else p.map_grid_min)
+                )
+            ) + 2
+            lik_b, _, _ = beam_measure(
+                df_beam, occ, state.pos, state.rot, beam_pts, beam_labels,
+                beam_valid, origins,
+                use_dda=bp.use_raycast_using_dda,
+                map_grid_min=p.map_grid_min, map_grid_max=p.map_grid_max,
+                hit_range=bp.hit_range,
+                beam_likelihood_min=bp.beam_likelihood,
+                num_points_default=bp.num_points,
+                sin_total_ref=math.sin(bp.ang_total_ref),
+                filter_label_max=bp.filter_label_max,
+                add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
+                num_steps=num_steps,
+            )
+        else:
+            lik_b = jnp.ones_like(lik_l)
+        odom_error = normal_likelihood(
+            jnp.linalg.norm(state.odom_err_lin, axis=-1), p.odom_err_integ_lin_sigma
+        )
+        likelihood = lik_l * lik_b * odom_error
+
+        match_ratio_min = jnp.min(jnp.where(mask, qual_l, jnp.inf))
+        match_ratio_max = jnp.max(jnp.where(mask, qual_l, -jnp.inf))
+
+        state2, entropy = pf.measure(state, likelihood)
+
+        # --- bias toward the previous pose (src/mcl_3dl.cpp:428-450)
+        lin_diff = jnp.linalg.norm(state2.pos - prev_pos, axis=-1)
+        ang_diff = mq.angle(mq.mul(state2.rot, mq.inv(prev_rot)))
+        p_bias = (
+            normal_likelihood(lin_diff, p.bias_var_dist)
+            * normal_likelihood(ang_diff, p.bias_var_ang)
+            + 1e-6
+        )
+        in_global = state2.n_active > p.num_particles
+        state2 = pf.bias(state2, jnp.where(in_global, 1.0, p_bias))
+
+        e_pos, e_rot = pf.expectation_biased(state2)
+        e_rot = mq.normalize(e_rot)
+        e_max = pf.max_particle(state2)
+
+        # --- map->odom + jump detection (src/mcl_3dl.cpp:630-661)
+        map_rot = mq.mul(e_rot, mq.inv(odom_rot))
+        map_pos = e_pos - mq.rotate(map_rot, odom_pos)
+
+        jump_dist = jnp.linalg.norm(e_pos - prev_pos)
+        jump_ang = mq.angle(mq.mul(mq.inv(e_rot), prev_rot))
+        jumped = (~in_global) & (
+            (jump_dist > p.jump_dist) | (jnp.abs(jump_ang) > p.jump_ang)
+        )
+        state2 = _tree_where(jumped, reset_error_integrals(state2), state2)
+        jump = in_global | jumped
+
+        # --- TF output smoothing (src/mcl_3dl.cpp:662-684)
+        rpy = mq.to_rpy(map_rot)
+        f_ang2 = _tree_where(jump, mf.filter_set(f_ang, rpy), f_ang)
+        f_pos2 = _tree_where(jump, mf.filter_set(f_pos, map_pos), f_pos)
+        f_ang2, rpy_s = mf.filter_step(f_ang2, rpy)
+        f_pos2, map_pos_s = mf.filter_step(f_pos2, map_pos)
+        map_rot_s = mq.from_rpy(rpy_s)
+        pub_rot = mq.mul(map_rot_s, odom_rot)
+        pub_pos = map_pos_s + mq.rotate(map_rot_s, odom_pos)
+
+        # --- covariance + convergence (src/mcl_3dl.cpp:704-751)
+        cov = pf.covariance(state2)
+        large_std = (~is_global_fix) & (
+            (jnp.sqrt(cov[0, 0] + cov[1, 1]) > p.std_warn_thresh_xy)
+            | (jnp.sqrt(cov[2, 2]) > p.std_warn_thresh_z)
+            | (jnp.sqrt(cov[5, 5]) > p.std_warn_thresh_yaw)
+        )
+        fix_ang = jnp.sqrt(cov[3, 3] + cov[4, 4] + cov[5, 5])
+        fix_dist = jnp.sqrt(cov[0, 0] + cov[1, 1] + cov[2, 2])
+        converged = (~large_std) & (fix_dist < p.fix_dist) & (
+            jnp.abs(fix_ang) < p.fix_ang
+        )
+
+        # --- resample + noise redraw (src/mcl_3dl.cpp:809-825)
+        state3 = pf.resample(state2, k_resample, self._resample_sigma)
+        nvals = jax.random.normal(k_noise, (state.capacity, 4), jnp.float32)
+        new_noise = nvals * jnp.asarray(
+            [p.odom_err_lin_lin, p.odom_err_lin_ang,
+             p.odom_err_ang_lin, p.odom_err_ang_ang], jnp.float32,
+        )
+        state3 = state3._replace(noise=new_noise)
+
+        # --- expansion resetting (src/mcl_3dl.cpp:853-864)
+        expanded = match_ratio_max < p.match_ratio_thresh
+        state4 = _tree_where(
+            expanded, pf.add_noise(state3, k_expand, self._expansion_sigma), state3
+        )
+
+        # --- global-localization decay (src/mcl_3dl.cpp:875-888)
+        reduced = (nf32 * 0.75).astype(jnp.int32)
+        new_n = jnp.where(reduced > p.num_particles, reduced, p.num_particles)
+        did_resize = state4.n_active > p.num_particles
+        state5 = _tree_where(did_resize, pf.resize(state4, new_n), state4)
+
+        # all-filtered-out guard: leave the filter untouched
+        # (src/mcl_3dl.cpp:385-391)
+        final_state = _tree_where(points_not_found, state, state5)
+        f_pos_out = _tree_where(points_not_found, f_pos, f_pos2)
+        f_ang_out = _tree_where(points_not_found, f_ang, f_ang2)
+        new_prev_pos = jnp.where(points_not_found, prev_pos, e_pos)
+        new_prev_rot = jnp.where(points_not_found, prev_rot, e_rot)
+
+        aux = {
+            "e_pos": e_pos, "e_rot": e_rot,
+            "pub_pos": pub_pos, "pub_rot": pub_rot,
+            "map_to_odom_pos": map_pos_s, "map_to_odom_rot": map_rot_s,
+            "cov": cov, "entropy": entropy,
+            "match_ratio_min": match_ratio_min,
+            "match_ratio_max": match_ratio_max,
+            "jumped": jump, "expanded": expanded,
+            "large_std": large_std, "converged": converged,
+            "did_resize": did_resize,
+            "points_not_found": points_not_found,
+            "e_max_odom_err_lin": e_max["odom_err_lin"],
+            "e_max_odom_err_ang": e_max["odom_err_ang"],
+        }
+        return (final_state, f_pos_out, f_ang_out, new_prev_pos,
+                new_prev_rot, aux)
+
+    # --------------------------------------------------------------- services
+
+    def resize_particles(self, n: int) -> None:
+        """resize_mcl_particle service (src/mcl_3dl.cpp:1019-1025)."""
+        self._grow_capacity(n)
+        self.pstate = jax.jit(pf.resize)(self.pstate, jnp.asarray(n, jnp.int32))
+        self._maybe_shrink_capacity()
+
+    def expansion_reset(self) -> None:
+        """expansion_resetting service (src/mcl_3dl.cpp:1026-1038)."""
+        self.pstate = pf.add_noise(
+            self.pstate, self._next_key(), self._expansion_sigma
+        )
+
+    def global_localization(self) -> int:
+        """global_localization service (src/mcl_3dl.cpp:1039-1099).
+
+        Seeds one particle per (standable surface point x yaw bin), yaw
+        composed with the current IMU attitude; returns the new particle
+        count.
+        """
+        if not self.has_map:
+            raise RuntimeError("No map received.")
+        p = self.params
+        grid = p.global_localization_grid_lin
+        points = voxel_downsample(self.map.points, grid)
+
+        # drop points with another point directly above (not standable,
+        # src/mcl_3dl.cpp:1058-1074); radius search in the reference uses
+        # the anisotropic point representation.
+        keep = _standable_mask(points, grid, p.dist_weight)
+        points = points[keep]
+        if points.shape[0] == 0:
+            return int(self.pstate.n_active)
+
+        dyaw = p.global_localization_div_yaw
+        n = points.shape[0] * dyaw
+        self._grow_capacity(n)
+        cap = self.pstate.capacity
+
+        idx = np.arange(cap, dtype=np.int64)
+        pt_idx = np.minimum(idx // dyaw, points.shape[0] - 1)
+        yaw_idx = idx % dyaw
+        pos = jnp.asarray(points[pt_idx], jnp.float32)
+        yaw = jnp.asarray(2.0 * np.pi * yaw_idx / dyaw, jnp.float32)
+        zero = jnp.zeros_like(yaw)
+        yaw_quat = mq.from_rpy(jnp.stack([zero, zero, yaw], axis=-1))
+        rot = mq.normalize(mq.mul(yaw_quat, jnp.asarray(self.imu_quat)))
+
+        prob = 1.0 / float(points.shape[0])  # reference quirk: 1/points, not 1/n
+        active = idx < n
+        self.pstate = st.zeros(cap, n)._replace(
+            pos=pos, rot=rot,
+            prob=jnp.asarray(np.where(active, prob, 0.0), jnp.float32),
+            prob_bias=jnp.ones((cap,), jnp.float32),
+        )
+        return n
+
+    def landmark(self, pos, rot, cov66) -> None:
+        """Landmark pose measurement (cbLandmark, src/mcl_3dl.cpp:899-940)."""
+        nd = NormalLikelihoodNd(cov66)
+
+        @jax.jit
+        def step(state, key, mpos, mrot):
+            lik = landmark_likelihood(state.pos, state.rot, mpos, mrot, nd)
+            state2, _ = pf.measure(state, lik)
+            return pf.resample(state2, key, self._resample_sigma)
+
+        self.pstate = step(
+            self.pstate, self._next_key(),
+            jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
+        )
+
+    # ------------------------------------------------------------ inspection
+
+    def get_particles(self):
+        """publishParticles equivalent (src/mcl_3dl.cpp:1101-1125)."""
+        n = int(self.pstate.n_active)
+        rot = mq.normalize(self.pstate.rot[:n])
+        return np.asarray(self.pstate.pos[:n]), np.asarray(rot), np.asarray(
+            self.pstate.prob[:n]
+        )
+
+    def classify_cloud(self, points_base, pos, rot):
+        """matched/unmatched debug clouds (src/mcl_3dl.cpp:761-805).
+
+        Returns (matched_mask, unmatched_mask) over ``points_base``
+        transformed by the given pose.
+        """
+        p = self.params
+        q = mq.rotate(jnp.asarray(rot, jnp.float32),
+                      jnp.asarray(points_base, jnp.float32)) + jnp.asarray(
+            pos, jnp.float32
+        )
+        d = self.map.df.sample_trilinear(q)
+        unmatched = d > p.unmatch_output_dist
+        matched = (~unmatched) & (d < p.match_output_dist)
+        return np.asarray(matched), np.asarray(unmatched)
+
+    def diagnostics(self) -> Diagnostics:
+        """diagnoseStatus (src/mcl_3dl.cpp:1127-1148)."""
+        if self.status.error == ErrorCode.POINTS_NOT_FOUND:
+            return Diagnostics(False, "Valid points does not found.",
+                               self.has_map, self.has_odom, self.has_imu)
+        if self.status.convergence_status == ConvergenceStatus.LARGE_STD_VALUE:
+            return Diagnostics(False, "Too Large Standard Deviation.",
+                               self.has_map, self.has_odom, self.has_imu)
+        return Diagnostics(True, "OK", self.has_map, self.has_odom, self.has_imu)
+
+
+def _standable_mask(points: np.ndarray, grid: float, dist_weight) -> np.ndarray:
+    """Points with no neighbor within weighted ``grid`` of p+(0,0,0.01+grid).
+
+    Mirrors the pc_filter at src/mcl_3dl.cpp:1062-1074 with the node's
+    anisotropic point representation.  Voxel-hash neighbor query on host.
+    """
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    m = points.shape[0]
+    if m == 0:
+        return np.zeros((0,), bool)
+    w = np.asarray(dist_weight, np.float64)
+    scaled = points * w
+    probe = (points + np.array([0.0, 0.0, 0.01 + grid])) * w
+    cell = grid
+    ijk = np.floor(scaled / cell).astype(np.int64)
+    buckets: dict = {}
+    for i, k in enumerate(map(tuple, ijk)):
+        buckets.setdefault(k, []).append(i)
+    keep = np.ones((m,), bool)
+    pijk = np.floor(probe / cell).astype(np.int64)
+    r = int(np.ceil(1.0)) + 1
+    offs = range(-r, r + 1)
+    g2 = grid * grid
+    for i in range(m):
+        kx, ky, kz = pijk[i]
+        found = False
+        for dx in offs:
+            for dy in offs:
+                for dz in offs:
+                    for j in buckets.get((kx + dx, ky + dy, kz + dz), ()):
+                        d2 = np.sum((scaled[j] - probe[i]) ** 2)
+                        if d2 <= g2:
+                            found = True
+                            break
+                    if found:
+                        break
+                if found:
+                    break
+            if found:
+                break
+        keep[i] = not found
+    return keep

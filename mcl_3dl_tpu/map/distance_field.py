@@ -1,0 +1,215 @@
+"""Truncated anisotropic voxel distance field.
+
+Replaces ``ChunkedKdtree``'s per-point ``radiusSearch``
+(chunked_kdtree.h:217-237): at map load we precompute, for every voxel
+cell center, the distance to the nearest map point under the reference's
+anisotropic metric (coordinates scaled by ``dist_weight``, set from
+src/mcl_3dl.cpp:1270 / parameters.cpp:108-111), truncated at ``trunc``.
+Every radius query the node performs (likelihood matching, kd-tree
+raycast probes, matched/unmatched classification, standable-surface
+check) then becomes a gather + compare, batched over
+``[particles, points]`` on the TPU.
+
+Build runs on host in numpy using a scatter-min over a fixed offset cube
+(exact within the truncation radius, vectorized with
+``np.minimum.reduceat`` segment reductions — no Python-level per-point
+loops).  The field is stored quantized to uint8 (max error
+``trunc/255`` ~ 2.4 mm at the default 0.6 m truncation, far below the
+0.05 m ``match_dist_flat`` floor) to keep multi-hundred-megacell maps
+resident in HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DistanceField:
+    """Device-resident truncated distance field.
+
+    ``field`` is uint8: distance = field / 255 * trunc.  The grid lives
+    in **weighted space** (coordinates pre-multiplied by ``weights``), so
+    interpolation error is uniform in the anisotropic query metric —
+    heavily weighted axes get proportionally finer effective resolution,
+    matching the kd-tree's rescaled point representation exactly.  Cell
+    centers sit at ``origin + idx * cell`` (weighted coords);
+    out-of-bounds queries read ``trunc``.
+    """
+
+    field: jnp.ndarray          # [nx, ny, nz] uint8
+    origin: jnp.ndarray         # [3] float32 (weighted space)
+    cell: float
+    trunc: float
+    weights: tuple              # (wx, wy, wz) anisotropic axis weights
+
+    @property
+    def shape(self):
+        return self.field.shape
+
+    def _scaled(self, q):
+        return q * jnp.asarray(self.weights, jnp.float32)
+
+    def sample_trilinear(self, q):
+        """Trilinearly interpolated distance at query points ``q`` [..., 3]."""
+        return _sample(
+            self.field, self.origin, self.cell, self.trunc, self._scaled(q), True
+        )
+
+    def sample_nearest(self, q):
+        """Nearest-cell distance at query points ``q`` [..., 3]."""
+        return _sample(
+            self.field, self.origin, self.cell, self.trunc, self._scaled(q), False
+        )
+
+
+jax.tree_util.register_pytree_node(
+    DistanceField,
+    lambda d: ((d.field, d.origin), (d.cell, d.trunc, d.weights)),
+    lambda aux, ch: DistanceField(
+        field=ch[0], origin=ch[1], cell=aux[0], trunc=aux[1], weights=aux[2]
+    ),
+)
+
+
+def _sample(field, origin, cell, trunc, q, trilinear: bool):
+    nx, ny, nz = field.shape
+    dims = jnp.asarray([nx, ny, nz], jnp.int32)
+    scale = jnp.float32(trunc / 255.0)
+    u = (q - origin) / jnp.float32(cell)
+
+    def gather(idx):
+        oob = jnp.any((idx < 0) | (idx >= dims), axis=-1)
+        ic = jnp.clip(idx, 0, dims - 1)
+        flat = (ic[..., 0] * ny + ic[..., 1]) * nz + ic[..., 2]
+        vals = jnp.take(field.reshape(-1), flat, axis=0).astype(jnp.float32) * scale
+        return jnp.where(oob, jnp.float32(trunc), vals)
+
+    if not trilinear:
+        idx = jnp.round(u).astype(jnp.int32)
+        return gather(idx)
+
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0.astype(jnp.float32)
+    out = jnp.zeros(q.shape[:-1], jnp.float32)
+    for dx in (0, 1):
+        wx = (1.0 - f[..., 0]) if dx == 0 else f[..., 0]
+        for dy in (0, 1):
+            wy = (1.0 - f[..., 1]) if dy == 0 else f[..., 1]
+            for dz in (0, 1):
+                wz = (1.0 - f[..., 2]) if dz == 0 else f[..., 2]
+                idx = i0 + jnp.asarray([dx, dy, dz], jnp.int32)
+                out = out + wx * wy * wz * gather(idx)
+    return out
+
+
+def _segment_min_scatter(field_flat, target_ids, values):
+    """field_flat[id] = min(field_flat[id], min(values where target==id)).
+
+    ``target_ids`` must be sorted ascending.  Uses reduceat over runs of
+    equal ids — C-speed, no ufunc.at scalar loop.
+    """
+    if target_ids.size == 0:
+        return
+    starts = np.flatnonzero(
+        np.concatenate([[True], target_ids[1:] != target_ids[:-1]])
+    )
+    mins = np.minimum.reduceat(values, starts)
+    ids = target_ids[starts]
+    np.minimum.at(field_flat, ids, mins)  # unique ids -> plain indexed min
+    # note: ids are unique here so this is one vectorized compare, but
+    # np.minimum.at is used for in-place semantics; equivalent to:
+    # field_flat[ids] = np.minimum(field_flat[ids], mins)
+
+
+def build_distance_field(
+    points: np.ndarray,
+    cell: float,
+    trunc: float,
+    weights=(1.0, 1.0, 1.0),
+    padding: float | None = None,
+) -> DistanceField:
+    """Build the truncated distance field from map points [M, 3].
+
+    Exact (not chamfer-propagated) within the truncation radius: every
+    cell whose weighted distance to some point is <= trunc receives the
+    true minimum.
+    """
+    weights = tuple(float(w) for w in weights)
+    w = np.asarray(weights, dtype=np.float64)
+    # Work entirely in weighted space: scale once, then the metric is
+    # Euclidean and the splat radius is isotropic.
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3) * w
+    if padding is None:
+        padding = trunc
+    pad = padding + cell
+    if points.shape[0] == 0:
+        field = np.full((1, 1, 1), 255, np.uint8)
+        return DistanceField(
+            field=jnp.asarray(field),
+            origin=jnp.zeros((3,), jnp.float32),
+            cell=float(cell),
+            trunc=float(trunc),
+            weights=weights,
+        )
+
+    min_p = points.min(axis=0) - pad
+    max_p = points.max(axis=0) + pad
+    origin = min_p
+    dims = np.ceil((max_p - origin) / cell).astype(np.int64) + 1
+    nx, ny, nz = (int(d) for d in dims)
+
+    field_flat = np.full(nx * ny * nz, np.float32(trunc), dtype=np.float32)
+
+    # Base cell of each point and sort once so all per-offset target id
+    # streams are sorted too (adding a constant preserves order).
+    base = np.round((points - origin) / cell).astype(np.int64)
+    base_flat = (base[:, 0] * ny + base[:, 1]) * nz + base[:, 2]
+    order = np.argsort(base_flat, kind="stable")
+    points = points[order]
+    base = base[order]
+    base_flat = base_flat[order]
+
+    r = int(np.ceil(trunc / cell + 0.5))
+    centers_base = origin + base * cell
+
+    for dx in range(-r, r + 1):
+        ix = base[:, 0] + dx
+        vx = (ix >= 0) & (ix < nx)
+        ddx = centers_base[:, 0] + dx * cell - points[:, 0]
+        for dy in range(-r, r + 1):
+            iy = base[:, 1] + dy
+            vxy = vx & (iy >= 0) & (iy < ny)
+            ddy = centers_base[:, 1] + dy * cell - points[:, 1]
+            dxy2 = ddx * ddx + ddy * ddy
+            if (dxy2.min() if dxy2.size else 0.0) >= trunc * trunc:
+                continue
+            for dz in range(-r, r + 1):
+                iz = base[:, 2] + dz
+                valid = vxy & (iz >= 0) & (iz < nz)
+                ddz = centers_base[:, 2] + dz * cell - points[:, 2]
+                dist = np.sqrt(dxy2 + ddz * ddz)
+                sel = valid & (dist < trunc)
+                if not sel.any():
+                    continue
+                const = (dx * ny + dy) * nz + dz
+                _segment_min_scatter(
+                    field_flat,
+                    base_flat[sel] + const,
+                    dist[sel].astype(np.float32),
+                )
+
+    q = np.clip(
+        np.round(field_flat / trunc * 255.0), 0, 255
+    ).astype(np.uint8)
+    return DistanceField(
+        field=jnp.asarray(q.reshape(nx, ny, nz)),
+        origin=jnp.asarray(origin, jnp.float32),
+        cell=float(cell),
+        trunc=float(trunc),
+        weights=weights,
+    )

@@ -1,0 +1,223 @@
+"""Beam LIDAR measurement model with vectorized raycasting.
+
+Re-designs ``LidarMeasurementModelBeam``
+(src/lidar_measurement_model_beam.cpp:124-192) plus both raycaster
+back-ends as bounded-step voxel marches over ``[particles, beams]``:
+
+* **kd-tree mode** (raycasts/raycast_using_kdtree.h:58-109, the default):
+  probes every ``map_grid_min`` along the ray with
+  ``radiusSearch(sqrt(2) * map_grid_max / 2)``; here each probe samples
+  the (label-filtered) distance field; the incidence-angle estimate
+  ``sin = |d1 - d0| / (2 * map_grid_min)`` uses the field at the probe
+  and two steps back, exactly like raycast_using_kdtree.h:88-102.
+* **DDA mode** (raycasts/raycast_using_dda.h:106-159): marches the
+  occupancy grid; ``sin_angle`` is hardcoded 1.0 (their :151-152 TODO),
+  so TOTAL_REFLECTION can never trigger in this mode.
+
+Beam classification (lidar_measurement_model_beam.cpp:157-192):
+first collision -> TOTAL_REFLECTION if grazing, else HIT when the
+collision is within ``hit_range`` of the scan endpoint, else SHORT;
+no collision -> LONG.  Score = beam_likelihood_min^(penalized/num)
+floored at beam_likelihood_min (:146-152).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mcl_3dl_tpu.map.distance_field import DistanceField
+from mcl_3dl_tpu.map.occupancy import OccupancyGrid
+from mcl_3dl_tpu.math import quat as mq
+
+
+class BeamStatus:
+    HIT = 0
+    SHORT = 1
+    LONG = 2
+    TOTAL_REFLECTION = 3
+
+
+def raycast_df(
+    df: DistanceField,
+    begin: jnp.ndarray,       # [..., 3]
+    end: jnp.ndarray,         # [..., 3]
+    map_grid_min: float,
+    map_grid_max: float,
+    hit_tolerance: float,
+    num_steps: int,
+):
+    """kd-tree-style raycast against the distance field.
+
+    Returns ``(collision[...], collision_pos[..., 3], sin_angle[...])``.
+    ``num_steps`` is the static march bound; rays longer than
+    ``num_steps * map_grid_min`` are truncated (choose num_steps >=
+    (clip_far + hit_tolerance) / map_grid_min).
+
+    Probe schedule matches raycast_using_kdtree.h:58-71: length =
+    floor((|ray| + hit_tolerance) / grid_min) steps of grid_min; probes
+    run at i = 1 .. length-1 (the endpoint cell itself is the expected
+    hit, probing stops *before* it).
+    """
+    radius = float(2.0**0.5) * map_grid_max / 2.0
+    seg = end - begin
+    length = jnp.linalg.norm(seg, axis=-1)
+    n_probes = jnp.floor((length + hit_tolerance) / map_grid_min)
+    direction = seg / jnp.maximum(length, 1e-12)[..., None]
+    inc = direction * map_grid_min
+
+    i = jnp.arange(1, num_steps + 1, dtype=jnp.float32)       # [S]
+    shape = begin.shape[:-1]
+    probes = begin[..., None, :] + inc[..., None, :] * i.reshape(
+        (1,) * len(shape) + (-1, 1)
+    )                                                          # [..., S, 3]
+    d0 = df.sample_trilinear(probes)                           # [..., S]
+    in_ray = i.reshape((1,) * len(shape) + (-1,)) < n_probes[..., None]
+    hit = (d0 <= radius) & in_ray
+
+    any_hit = jnp.any(hit, axis=-1)
+    first = jnp.argmax(hit, axis=-1)                           # [...]
+    collision_pos = jnp.take_along_axis(
+        probes, first[..., None, None], axis=-2
+    ).squeeze(-2)
+    d0_hit = jnp.take_along_axis(d0, first[..., None], axis=-1).squeeze(-1)
+
+    # Incidence estimate from the probe two steps back
+    # (raycast_using_kdtree.h:88-102).
+    prev_pos = collision_pos - inc * 2.0
+    d1 = df.sample_trilinear(prev_pos)
+    prev_radius = map_grid_min * 2.0 + radius
+    sin_ang = jnp.where(
+        d1 <= prev_radius,
+        jnp.abs(d1 - d0_hit) / (map_grid_min * 2.0),
+        1.0,
+    )
+    sin_ang = jnp.where(any_hit, sin_ang, 0.0)
+    return any_hit, collision_pos, sin_ang
+
+
+def raycast_occ(
+    occ: OccupancyGrid,
+    begin: jnp.ndarray,
+    end: jnp.ndarray,
+    hit_tolerance: float,
+    filter_label_max: int,
+    num_steps: int,
+):
+    """DDA-style raycast against the occupancy grid.
+
+    Marches at half-cell spacing (a superset of the exact Amanatides-Woo
+    voxel walk, raycast_using_dda.h:106-159).  A ray starting outside
+    the map AABB never collides (:70-75); the voxel containing the ray
+    origin is skipped (the reference increments the DDA cursor before
+    the first intersection test).  Collision position is the voxel's
+    mean map point.  Returns ``(collision, collision_pos, sin_angle=1)``.
+    """
+    step = occ.cell * 0.5
+    seg = end - begin
+    length = jnp.linalg.norm(seg, axis=-1)
+    direction = seg / jnp.maximum(length, 1e-12)[..., None]
+    max_t = length + hit_tolerance
+
+    nx, ny, nz = occ.shape
+    dims_hi = occ.origin + jnp.asarray([nx, ny, nz], jnp.float32) * jnp.float32(
+        occ.cell
+    )
+    begin_inside = jnp.all((begin >= occ.origin) & (begin <= dims_hi), axis=-1)
+    begin_voxel = jnp.floor((begin - occ.origin) / occ.cell).astype(jnp.int32)
+
+    shape = begin.shape[:-1]
+    t = (jnp.arange(1, num_steps + 1, dtype=jnp.float32) * step).reshape(
+        (1,) * len(shape) + (-1,)
+    )
+    probes = begin[..., None, :] + direction[..., None, :] * t[..., None]
+    occ_hit, label, point_pos = occ.lookup(probes)             # [..., S]
+    voxel = jnp.floor((probes - occ.origin) / occ.cell).astype(jnp.int32)
+    same_as_begin = jnp.all(voxel == begin_voxel[..., None, :], axis=-1)
+
+    blocked = (
+        occ_hit
+        & (label <= jnp.uint32(filter_label_max))
+        & ~same_as_begin
+        & (t < max_t[..., None])
+        & begin_inside[..., None]
+    )
+    any_hit = jnp.any(blocked, axis=-1)
+    first = jnp.argmax(blocked, axis=-1)
+    collision_pos = jnp.take_along_axis(
+        point_pos, first[..., None, None], axis=-2
+    ).squeeze(-2)
+    sin_ang = jnp.where(any_hit, 1.0, 0.0)
+    return any_hit, collision_pos, sin_ang
+
+
+def beam_measure(
+    df_beam: DistanceField,
+    occ: OccupancyGrid,
+    pos: jnp.ndarray,          # [N, 3]
+    rot: jnp.ndarray,          # [N, 4]
+    points: jnp.ndarray,       # [B, 3] sampled beam endpoints (base frame)
+    origin_idx: jnp.ndarray,   # [B] int32 — per-point sensor origin index
+    valid: jnp.ndarray,        # [B] bool
+    origins: jnp.ndarray,      # [L, 3] sensor origins (base frame)
+    *,
+    use_dda: bool,
+    map_grid_min: float,
+    map_grid_max: float,
+    hit_range: float,
+    beam_likelihood_min: float,
+    num_points_default: int,
+    sin_total_ref: float,
+    filter_label_max: int,
+    add_penalty_short_only_mode: bool,
+    num_steps: int,
+):
+    """Returns ``(likelihood[N], quality[N], status[N, B])``.
+
+    ``beam_likelihood_`` = beam_likelihood_min^(1/num_points_default)
+    (refreshParameters, lidar_measurement_model_beam.cpp:66).
+    """
+    rmat = mq.rotation_matrix(mq.normalize(rot))
+    ends = (
+        jnp.einsum("bj,nij->nbi", points, rmat,
+                   preferred_element_type=jnp.float32)
+        + pos[:, None, :]
+    )                                                          # [N, B, 3]
+    sensor_org = origins[origin_idx]                           # [B, 3]
+    begins = (
+        jnp.einsum("bj,nij->nbi", sensor_org, rmat,
+                   preferred_element_type=jnp.float32)
+        + pos[:, None, :]
+    )
+
+    if use_dda:
+        collision, cpos, sin_ang = raycast_occ(
+            occ, begins, ends, hit_range, filter_label_max, num_steps
+        )
+    else:
+        collision, cpos, sin_ang = raycast_df(
+            df_beam, begins, ends, map_grid_min, map_grid_max, hit_range, num_steps
+        )
+
+    dist_sq = jnp.sum((ends - cpos) ** 2, axis=-1)
+    graze = sin_ang <= sin_total_ref
+    status = jnp.where(
+        collision,
+        jnp.where(
+            graze,
+            BeamStatus.TOTAL_REFLECTION,
+            jnp.where(dist_sq < hit_range**2, BeamStatus.HIT, BeamStatus.SHORT),
+        ),
+        BeamStatus.LONG,
+    )
+
+    penalized = (status == BeamStatus.SHORT) | (
+        (not add_penalty_short_only_mode) & (status == BeamStatus.LONG)
+    )
+    penalized = penalized & valid[None, :]
+    n_pen = jnp.sum(penalized, axis=-1).astype(jnp.float32)
+    per_beam = beam_likelihood_min ** (1.0 / float(num_points_default))
+    score = jnp.maximum(per_beam**n_pen, beam_likelihood_min)
+
+    has_points = jnp.sum(valid) > 0
+    likelihood = jnp.where(has_points, score, 1.0)
+    return likelihood, jnp.ones_like(likelihood), status

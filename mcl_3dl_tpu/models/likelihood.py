@@ -1,0 +1,68 @@
+"""Likelihood-field LIDAR measurement model — the flagship hot kernel.
+
+Re-designs ``LidarMeasurementModelLikelihood``
+(src/lidar_measurement_model_likelihood.cpp:105-139): the reference
+transforms the sampled scan by each particle's pose and runs one kd-tree
+``radiusSearch(match_dist_min)`` per point per particle; here the
+transform is a single ``[N,3,3] x [K,3]`` batched matmul (MXU) and the
+nearest-distance query is a trilinear gather from the precomputed
+distance field (HBM), fused with the clamp+sum score reduction.
+
+Score per particle (lidar_measurement_model_likelihood.cpp:124-135):
+
+    for each matched point (weighted nearest dist d <= match_dist_min):
+        score += match_weight * (match_dist_min - max(d, match_dist_flat))
+    quality = matched / num_points
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mcl_3dl_tpu.map.distance_field import DistanceField
+from mcl_3dl_tpu.math import quat as mq
+
+
+def clip_mask(points, clip_near, clip_far, clip_z_min, clip_z_max):
+    """Annulus + z-band clip in the sensor/base frame
+    (lidar_measurement_model_likelihood.cpp:84-93).  Returns keep-mask."""
+    r2 = points[..., 0] ** 2 + points[..., 1] ** 2
+    keep = (r2 <= clip_far**2) & (r2 >= clip_near**2)
+    keep &= (points[..., 2] >= clip_z_min) & (points[..., 2] <= clip_z_max)
+    return keep
+
+
+def likelihood_measure(
+    df: DistanceField,
+    pos: jnp.ndarray,          # [N, 3] particle positions
+    rot: jnp.ndarray,          # [N, 4] particle quaternions
+    points: jnp.ndarray,       # [K, 3] sampled scan points (base_link frame)
+    valid: jnp.ndarray,        # [K] bool — sampled-slot validity
+    match_dist_min: float,
+    match_dist_flat: float,
+    match_weight: float,
+):
+    """Returns ``(likelihood[N], quality[N])``.
+
+    An all-invalid cloud returns (1, 0) per particle, matching the empty
+    guard at lidar_measurement_model_likelihood.cpp:111-114.
+    """
+    rmat = mq.rotation_matrix(mq.normalize(rot))          # [N, 3, 3]
+    # [N, K, 3] = points @ R^T + pos
+    transformed = (
+        jnp.einsum("kj,nij->nki", points, rmat,
+                   preferred_element_type=jnp.float32)
+        + pos[:, None, :]
+    )
+    d = df.sample_trilinear(transformed)                   # [N, K]
+    matched = (d <= match_dist_min) & valid[None, :]
+    contrib = match_weight * (match_dist_min - jnp.maximum(d, match_dist_flat))
+    contrib = jnp.maximum(contrib, 0.0)                    # "if dist < 0 continue"
+    score = jnp.sum(jnp.where(matched, contrib, 0.0), axis=-1)
+
+    num = jnp.sum(valid)
+    has_points = num > 0
+    quality = jnp.sum(matched, axis=-1) / jnp.maximum(num, 1)
+    likelihood = jnp.where(has_points, score, 1.0)
+    quality = jnp.where(has_points, quality, 0.0)
+    return likelihood, quality

@@ -1,0 +1,132 @@
+"""Scan-point random samplers (reference layer L3).
+
+``sample_uniform`` mirrors ``PointCloudUniformSampler``
+(point_cloud_random_samplers/point_cloud_uniform_sampler.h:44-75):
+``num_points`` draws with replacement, uniform over the clipped cloud.
+Operates on a fixed-capacity padded point buffer + validity mask so the
+draw runs on device with static shapes.
+
+``sample_with_normal`` mirrors ``PointCloudSamplerWithNormal``
+(point_cloud_random_samplers/point_cloud_sampler_with_normal.h:54-186):
+points whose estimated surface normal aligns with the dominant
+uncertainty direction of the particle cloud are up-weighted, and draws
+are without replacement via the cumulative-weight walk.  Normal
+estimation (PCA of neighbors within ``normal_search_range``) runs on
+host at scan ingest; the weighted draw runs on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_uniform(
+    key: jax.Array,
+    points: jnp.ndarray,       # [P, 3+] padded point buffer
+    valid: jnp.ndarray,        # [P] bool
+    num_points: int,
+):
+    """Returns ``(sampled [num_points, C], sampled_valid [num_points])``.
+
+    Sampled slots are uniform-with-replacement over valid points; if no
+    point is valid, ``sampled_valid`` is all-False (the engine raises
+    the reference's ERROR_POINTS_NOT_FOUND in that case,
+    src/mcl_3dl.cpp:385-391).
+    """
+    n_valid = jnp.sum(valid)
+    p = valid / jnp.maximum(n_valid, 1)
+    idx = jax.random.choice(key, points.shape[0], (num_points,), replace=True, p=p)
+    sampled = points[idx]
+    ok = (n_valid > 0) & jnp.ones((num_points,), bool)
+    return sampled, ok, idx
+
+
+def estimate_normals_host(
+    points: np.ndarray, search_range: float
+) -> np.ndarray:
+    """Estimate per-point surface normals by neighborhood PCA (host).
+
+    Equivalent of PCL ``NormalEstimation`` with a radius search
+    (point_cloud_sampler_with_normal.h:95-109): the normal is the
+    eigenvector of the neighborhood covariance with the smallest
+    eigenvalue.  Uses a voxel-hash neighbor search; points with < 3
+    neighbors get a zero normal.
+    """
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    m = points.shape[0]
+    normals = np.zeros((m, 3), np.float32)
+    if m == 0:
+        return normals
+    cell = search_range
+    ijk = np.floor(points / cell).astype(np.int64)
+    key_of = {}
+    for i, k in enumerate(map(tuple, ijk)):
+        key_of.setdefault(k, []).append(i)
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    r2 = search_range * search_range
+    for i in range(m):
+        kx, ky, kz = ijk[i]
+        neigh = []
+        for dx, dy, dz in offs:
+            neigh.extend(key_of.get((kx + dx, ky + dy, kz + dz), ()))
+        q = points[neigh]
+        d2 = np.sum((q - points[i]) ** 2, axis=1)
+        q = q[d2 <= r2]
+        if q.shape[0] < 3:
+            continue
+        c = q - q.mean(axis=0)
+        cov = c.T @ c
+        w, v = np.linalg.eigh(cov)
+        normals[i] = v[:, 0]
+    return normals
+
+
+def sampler_with_normal_weights(
+    normals: jnp.ndarray,        # [P, 3] per-point normals
+    valid: jnp.ndarray,          # [P]
+    pos_cov: jnp.ndarray,        # [3, 3] particle position covariance
+    perform_weighting_ratio: float,
+    max_weight_ratio: float,
+    max_weight: float,
+):
+    """Per-point importance weights from the particle covariance.
+
+    Mirrors point_cloud_sampler_with_normal.h:110-158: find the
+    dominant position-uncertainty eigenvector; ramp the weight of
+    points whose |normal . direction| is large, from 1 at
+    eigenvalue-ratio <= perform_weighting_ratio up to ``max_weight`` at
+    ratio >= max_weight_ratio.
+    """
+    w, v = jnp.linalg.eigh(pos_cov)
+    # eigh sorts ascending: largest eigenvalue last, second-largest one before.
+    ratio = jnp.sqrt(jnp.maximum(w[2], 0.0) / jnp.maximum(w[1], 1e-12))
+    direction = v[:, 2]
+    t = (ratio - perform_weighting_ratio) / (
+        max_weight_ratio - perform_weighting_ratio
+    )
+    amp = 1.0 + jnp.clip(t, 0.0, 1.0) * (max_weight - 1.0)
+    align = jnp.abs(jnp.sum(normals * direction, axis=-1))
+    weights = 1.0 + align * (amp - 1.0)
+    return jnp.where(valid, weights, 0.0)
+
+
+def sample_weighted_without_replacement(
+    key: jax.Array,
+    points: jnp.ndarray,       # [P, C]
+    weights: jnp.ndarray,      # [P] nonnegative
+    num_points: int,
+):
+    """Weighted draw without duplicates (point_cloud_sampler_with_normal.h:
+    159-172) via the Gumbel top-k trick (equivalent distribution to
+    sequential CDF draws with removal)."""
+    g = jax.random.gumbel(key, weights.shape)
+    scores = jnp.where(weights > 0, jnp.log(jnp.maximum(weights, 1e-30)) + g,
+                       -jnp.inf)
+    k = min(num_points, points.shape[0])
+    idx = jax.lax.top_k(scores, k)[1]
+    sampled = points[idx]
+    ok = jnp.take(weights, idx) > 0
+    return sampled, ok, idx

@@ -1,0 +1,121 @@
+"""Mesh construction and sharded filter steps.
+
+Design (SURVEY §2 parallelism table): particles are data-parallel over
+the ``"particles"`` mesh axis; a fleet of robots adds a leading
+``"robots"`` axis.  The map distance field / occupancy grid are
+replicated (read-only, gathered locally).  All cross-shard interaction
+happens inside one jit-compiled step: weight sums, entropy, pose
+moments, covariance (psum), and the resampling CDF gather (all_gather of
+selected states) — inserted automatically by GSPMD from the sharding
+constraints below, riding ICI within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mcl_3dl_tpu.state import ParticleState
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, robots: int = 1, devices=None
+) -> Mesh:
+    """Mesh over ("robots", "particles")."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % robots != 0:
+        raise ValueError(f"{n} devices not divisible by {robots} robot groups")
+    arr = np.asarray(devices).reshape(robots, n // robots)
+    return Mesh(arr, ("robots", "particles"))
+
+
+def _state_spec(batched: bool) -> ParticleState:
+    lead = ("robots",) if batched else ()
+    arr = P(*lead, "particles")
+    scalar = P(*lead) if batched else P()
+    return ParticleState(
+        pos=arr, rot=arr, odom_err_lin=arr, odom_err_ang=arr, noise=arr,
+        prob=arr, prob_bias=arr, n_active=scalar,
+    )
+
+
+def shard_state(state: ParticleState, mesh: Mesh, batched: bool = False):
+    """Place a particle state onto the mesh (particle axis sharded)."""
+    spec = _state_spec(batched)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state, spec,
+        is_leaf=lambda x: not isinstance(x, ParticleState),
+    )
+
+
+def sharded_filter_step(engine, mesh: Mesh):
+    """Jit the engine's fused measurement step with particle sharding.
+
+    Returns a function with the same signature as
+    ``MCL3DL._measurement_step``; inputs other than the particle state
+    are replicated.
+    """
+    spec = _state_spec(False)
+    state_sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    repl = NamedSharding(mesh, P())
+
+    def rep_tree(tree):
+        return jax.tree.map(lambda _: repl, tree)
+
+    def step(state, key, df, df_beam, occ, cloud, cloud_label, cloud_valid,
+             normals, origins, odom_pos, odom_rot, prev_pos, prev_rot,
+             f_pos, f_ang, is_global_fix):
+        return engine._measurement_step(
+            state, key, df, df_beam, occ, cloud, cloud_label, cloud_valid,
+            normals, origins, odom_pos, odom_rot, prev_pos, prev_rot,
+            f_pos, f_ang, is_global_fix,
+        )
+
+    return jax.jit(
+        step,
+        in_shardings=(
+            state_sh, repl, None, None, None, repl, repl, repl, repl, repl,
+            repl, repl, repl, repl, None, None, repl,
+        ),
+        out_shardings=(state_sh, None, None, repl, repl, None),
+    )
+
+
+def fleet_filter_step(engine, mesh: Mesh):
+    """Batched fleet step: vmap over a leading robots axis, sharded
+    ``("robots", "particles")``; the map stays shared/replicated.
+
+    Signature: ``step(state_batched, keys[R,2], df, df_beam, occ,
+    cloud[R,P,3], cloud_label[R,P], cloud_valid[R,P], normals[R,P,3],
+    origins[R,L,3], odom_pos[R,3], odom_rot[R,4], prev_pos[R,3],
+    prev_rot[R,4], f_pos_b, f_ang_b, is_global_fix[R])``.
+    """
+    spec = _state_spec(True)
+    state_sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    robot = NamedSharding(mesh, P("robots"))
+
+    vstep = jax.vmap(
+        engine._measurement_step,
+        in_axes=(0, 0, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    )
+    return jax.jit(
+        vstep,
+        in_shardings=(
+            state_sh, robot, None, None, None, robot, robot, robot, robot,
+            robot, robot, robot, robot, robot, None, None, robot,
+        ),
+        out_shardings=(state_sh, None, None, robot, robot, None),
+    )

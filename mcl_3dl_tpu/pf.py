@@ -1,0 +1,220 @@
+"""Particle-filter core as pure jittable functions.
+
+Re-design of ``pf::ParticleFilter`` (include/mcl_3dl/pf.h:160-462) for
+SoA particle arrays on TPU:
+
+* ``measure``      — weight multiply + normalize + entropy, with the
+                     reference's zero-likelihood rollback (pf.h:252-279)
+* ``resample``     — systematic low-variance resampling over the weight
+                     CDF via searchsorted, with Gaussian jitter applied
+                     *only* to duplicated draws (pf.h:186-225).  The
+                     reference sorts by accumulated probability, but the
+                     accumulated weights are already a non-decreasing
+                     CDF, so the sort is the identity and is dropped.
+* ``add_noise``    — expansion noise (pf.h:226-237)
+* ``expectation``  — front/up-vector quaternion-safe weighted mean
+* ``covariance``   — full-population 6x6 moment matrix on the MXU
+* ``resize``       — re-draw N' particles from the CDF (pf.h:399-436)
+* ``entropy``      — -sum p log p (pf.h:263-273)
+
+All functions treat inactive slots (index >= n_active) as nonexistent via
+masking, so dynamic particle counts never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mcl_3dl_tpu import state as st
+from mcl_3dl_tpu.math import quat as mq
+from mcl_3dl_tpu.state import ParticleState
+
+
+def uniform_weights(state: ParticleState) -> ParticleState:
+    mask = state.active_mask()
+    return state._replace(prob=mask / state.n_active.astype(jnp.float32))
+
+
+def measure(
+    state: ParticleState, likelihood: jnp.ndarray
+) -> tuple[ParticleState, jnp.ndarray]:
+    """Multiply weights by ``likelihood`` and normalize.
+
+    Returns ``(new_state, entropy)``.  Mirrors pf.h:252-279 including the
+    zero-likelihood rollback: if the total posterior weight is zero the
+    previous particle set (states *and* weights) is restored and the
+    previous entropy is meaningless (the reference leaves ``entropy_``
+    stale; we return NaN-free 0.0 in that branch for the caller to ignore).
+    """
+    mask = state.active_mask()
+    prob = state.prob * likelihood * mask
+    total = jnp.sum(prob)
+    ok = total > 0.0
+
+    prob_norm = prob / jnp.where(ok, total, 1.0)
+    plogp = jnp.where(prob_norm > 0.0, prob_norm * jnp.log(prob_norm), 0.0)
+    entropy = -jnp.sum(plogp)
+
+    new_prob = jnp.where(ok, prob_norm, state.prob)
+    return state._replace(prob=new_prob), jnp.where(ok, entropy, 0.0)
+
+
+def bias(state: ParticleState, bias_values: jnp.ndarray) -> ParticleState:
+    """Set the per-particle bias weights (pf.h:245-251)."""
+    return state._replace(prob_bias=bias_values)
+
+
+def _systematic_select(prob, mask, n_active, capacity, offsets):
+    """Shared CDF selection for resample/resize.
+
+    ``offsets``: [C] target cumulative-probability positions (already
+    scaled to the total weight).  Returns selected source indices [C],
+    clamped into the active range (the reference's it==end guard,
+    pf.h:209-213, can only trigger via float roundoff at the tail and
+    clamps to the previous valid particle = the last active one).
+    """
+    accum = jnp.cumsum(prob * mask)
+    idx = jnp.searchsorted(accum, offsets, side="left")
+    return jnp.minimum(idx, jnp.maximum(n_active - 1, 0)).astype(jnp.int32)
+
+
+def _gather_states(state: ParticleState, idx) -> ParticleState:
+    return state._replace(
+        pos=state.pos[idx],
+        rot=state.rot[idx],
+        odom_err_lin=state.odom_err_lin[idx],
+        odom_err_ang=state.odom_err_ang[idx],
+        noise=state.noise[idx],
+    )
+
+
+def resample(state: ParticleState, key: jax.Array, sigma6) -> ParticleState:
+    """Systematic (low-variance) resampling (pf.h:186-225).
+
+    The reference walks a comb of equally spaced points over the weight
+    CDF starting at a uniform offset in [0, step); jitter drawn from the
+    diagonal ``sigma6`` generator is added *only when a source particle
+    is selected more than once consecutively* (it == it_prev at
+    pf.h:214-218), and only those jittered states are re-normalized.
+    The iterator starts at begin(), so a first draw selecting particle 0
+    is also jittered — ``prev_idx`` is seeded with 0 to match.
+    """
+    cap = state.capacity
+    mask = state.active_mask()
+    nf = state.n_active.astype(jnp.float32)
+    total = jnp.sum(state.prob * mask)
+    pstep = total / nf
+
+    key_u, key_n = jax.random.split(key)
+    initial_p = jax.random.uniform(key_u, (), jnp.float32, 0.0, 1.0) * pstep
+    i = jnp.arange(cap, dtype=jnp.float32)
+    offsets = pstep * i + initial_p
+
+    idx = _systematic_select(state.prob, mask, state.n_active, cap, offsets)
+    prev_idx = jnp.concatenate([jnp.zeros((1,), jnp.int32), idx[:-1]])
+    dup = (idx == prev_idx) & mask
+
+    new_state = _gather_states(state, idx)
+    noise6 = (
+        jax.random.normal(key_n, (cap, 6), jnp.float32)
+        * jnp.asarray(sigma6, jnp.float32)
+        * dup[:, None]
+    )
+    jittered = st.apply_noise_6dof(new_state, noise6)
+    # normalize() is only applied on the jittered branch (pf.h:217).
+    rot = jnp.where(dup[:, None], mq.normalize(jittered.rot), new_state.rot)
+    jittered = jittered._replace(rot=rot)
+
+    def pick(a, b):
+        d = dup.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(d, a, b)
+
+    out = new_state._replace(
+        pos=pick(jittered.pos, new_state.pos),
+        rot=rot,
+        odom_err_lin=pick(jittered.odom_err_lin, new_state.odom_err_lin),
+        odom_err_ang=pick(jittered.odom_err_ang, new_state.odom_err_ang),
+        prob=mask / nf,
+    )
+    return out
+
+
+def add_noise(state: ParticleState, key: jax.Array, sigma6) -> ParticleState:
+    """Add expansion noise to every particle (pf.h:226-237)."""
+    noise6 = jax.random.normal(key, (state.capacity, 6), jnp.float32) * jnp.asarray(
+        sigma6, jnp.float32
+    )
+    noise6 = noise6 * state.active_mask()[:, None]
+    return st.apply_noise_6dof(state, noise6)
+
+
+def expectation(state: ParticleState):
+    """Weighted mean pose -> (pos[3], quat[4]) (pf.h:280-293, ratio=1)."""
+    return st.weighted_mean(state, state.prob)
+
+
+def expectation_biased(state: ParticleState):
+    """Weighted mean with bias weights (pf.h:294-303)."""
+    return st.weighted_mean(state, state.prob * state.prob_bias)
+
+
+def max_particle(state: ParticleState):
+    """State of the highest-weight particle (pf.h:361-374)."""
+    idx = jnp.argmax(jnp.where(state.active_mask(), state.prob, -jnp.inf))
+    return jax.tree.map(lambda a: a[idx], _particle_tuple(state))
+
+
+def max_biased(state: ParticleState):
+    """Highest probability * bias particle (pf.h:375-390)."""
+    w = state.prob * state.prob_bias
+    idx = jnp.argmax(jnp.where(state.active_mask(), w, -jnp.inf))
+    return jax.tree.map(lambda a: a[idx], _particle_tuple(state))
+
+
+def _particle_tuple(state: ParticleState):
+    return {
+        "pos": state.pos,
+        "rot": state.rot,
+        "odom_err_lin": state.odom_err_lin,
+        "odom_err_ang": state.odom_err_ang,
+        "noise": state.noise,
+    }
+
+
+def covariance(state: ParticleState) -> jnp.ndarray:
+    """6x6 (xyz, rpy) covariance about the weighted mean (pf.h:304-360)."""
+    mean_pos, mean_rot = expectation(state)
+    return st.covariance6(state, state.prob, mean_pos, mean_rot)
+
+
+def entropy(state: ParticleState) -> jnp.ndarray:
+    """-sum p log p over active particles (pf.h:263-273)."""
+    p = state.prob * state.active_mask()
+    return -jnp.sum(jnp.where(p > 0.0, p * jnp.log(p), 0.0))
+
+
+def resize(state: ParticleState, new_n) -> ParticleState:
+    """Re-draw ``new_n`` particles from the weight CDF (pf.h:399-436).
+
+    Deterministic comb at pscan = pstep * (i + 1); no jitter; uniform
+    output weights.  ``new_n`` must be <= capacity — the engine grows
+    capacity on host when needed.
+    """
+    cap = state.capacity
+    mask = state.active_mask()
+    new_n = jnp.asarray(new_n, jnp.int32)
+    nf = new_n.astype(jnp.float32)
+    total = jnp.sum(state.prob * mask)
+    pstep = total / nf
+    i = jnp.arange(cap, dtype=jnp.float32)
+    offsets = pstep * (i + 1.0)
+
+    idx = _systematic_select(state.prob, mask, state.n_active, cap, offsets)
+    out = _gather_states(state, idx)
+    new_mask = jnp.arange(cap, dtype=jnp.int32) < new_n
+    return out._replace(
+        prob=new_mask / nf,
+        prob_bias=jnp.ones((cap,), jnp.float32),
+        n_active=new_n,
+    )

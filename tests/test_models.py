@@ -1,0 +1,318 @@
+"""Measurement / prediction model tests (mirror
+test_motion_prediction_model_differential_drive.cpp,
+test_imu_measurement_model_gravity.cpp, test_beam_likelihood.cpp,
+test_raycast.cpp)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcl_3dl_tpu import state as st
+from mcl_3dl_tpu.map.distance_field import build_distance_field
+from mcl_3dl_tpu.map.occupancy import build_occupancy_grid
+from mcl_3dl_tpu.math import quat as mq
+from mcl_3dl_tpu.math.nd import normal_likelihood
+from mcl_3dl_tpu.models.beam import (
+    BeamStatus,
+    beam_measure,
+    raycast_df,
+    raycast_occ,
+)
+from mcl_3dl_tpu.models.imu_gravity import imu_gravity_likelihood
+from mcl_3dl_tpu.models.likelihood import clip_mask, likelihood_measure
+from mcl_3dl_tpu.models.motion import OdomDelta, predict_differential_drive
+
+
+def _wall_points(x=2.0, half=3.0, grid=0.1):
+    ys = np.arange(-half, half + grid / 2, grid)
+    zs = np.arange(-1.0, 1.0 + grid / 2, grid)
+    gy, gz = np.meshgrid(ys, zs, indexing="ij")
+    return np.stack([np.full(gy.size, x), gy.ravel(), gz.ravel()], axis=1)
+
+
+def _wall_world(x=2.0, half=3.0, grid=0.1):
+    """Wall at +x plus a far back wall so the sensor origin sits inside
+    the map AABB (RaycastUsingDDA ignores rays starting outside it,
+    raycast_using_dda.h:70-75)."""
+    return np.concatenate([_wall_points(x, half, grid),
+                           _wall_points(-4.0, half, grid)], axis=0)
+
+
+# ------------------------------------------------------------------ motion
+
+
+def test_motion_prediction_no_noise():
+    # closed-form: pure forward translation
+    n = 4
+    s = st.zeros(n)
+    delta = OdomDelta.from_poses(
+        jnp.zeros(3), mq.identity(),
+        jnp.asarray([1.0, 0.0, 0.0]), mq.identity(), 0.1,
+    )
+    s2 = predict_differential_drive(s, delta, 10.0, 10.0)
+    assert np.allclose(np.asarray(s2.pos), [[1, 0, 0]] * n, atol=1e-6)
+    assert np.allclose(np.asarray(s2.rot), [[0, 0, 0, 1]] * n, atol=1e-6)
+
+
+def test_motion_prediction_rotated_frame():
+    # particle facing +y: odom delta (1,0,0) in odom frame is applied in
+    # the particle's frame -> moves along +y
+    s = st.zeros(1)
+    yaw90 = mq.from_rpy(jnp.asarray([0.0, 0.0, np.pi / 2], jnp.float32))
+    s = s._replace(rot=yaw90[None, :])
+    delta = OdomDelta.from_poses(
+        jnp.zeros(3), mq.identity(),
+        jnp.asarray([1.0, 0.0, 0.0]), mq.identity(), 0.1,
+    )
+    s2 = predict_differential_drive(s, delta, 10.0, 10.0)
+    assert np.allclose(np.asarray(s2.pos[0]), [0, 1, 0], atol=1e-5)
+
+
+def test_motion_prediction_noise_ll():
+    # noise_ll scales translation (motion_prediction_model_...h:58)
+    s = st.zeros(1)
+    s = s._replace(noise=jnp.asarray([[0.5, 0.0, 0.0, 0.0]], jnp.float32))
+    delta = OdomDelta.from_poses(
+        jnp.zeros(3), mq.identity(),
+        jnp.asarray([2.0, 0.0, 0.0]), mq.identity(), 0.1,
+    )
+    s2 = predict_differential_drive(s, delta, 10.0, 10.0)
+    assert np.allclose(np.asarray(s2.pos[0]), [3.0, 0, 0], atol=1e-5)
+    # error integral accumulates the noise-induced offset, decayed
+    want_err = (3.0 - 2.0) * (1.0 - 0.1 / 10.0)
+    assert np.allclose(np.asarray(s2.odom_err_lin[0]), [want_err, 0, 0], atol=1e-5)
+
+
+def test_motion_prediction_yaw_noise():
+    # noise_aa adds yaw proportional to the rotation angle (:61-62)
+    s = st.zeros(1)
+    s = s._replace(noise=jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32))
+    ang = 0.3
+    rot_cur = mq.from_rpy(jnp.asarray([0.0, 0.0, ang], jnp.float32))
+    delta = OdomDelta.from_poses(
+        jnp.zeros(3), mq.identity(), jnp.zeros(3), rot_cur, 0.1
+    )
+    s2 = predict_differential_drive(s, delta, 10.0, 10.0)
+    rpy = np.asarray(mq.to_rpy(s2.rot[0]))
+    assert abs(rpy[2] - 2 * ang) < 1e-5  # odom ang + equal noise yaw
+    assert abs(float(s2.odom_err_ang[0, 2]) - ang * (1 - 0.1 / 10.0)) < 1e-5
+
+
+# ------------------------------------------------------------------ imu
+
+
+def test_imu_gravity_upright_peak():
+    rots = jnp.stack([
+        mq.identity(),
+        mq.from_rpy(jnp.asarray([0.5, 0.0, 0.0], jnp.float32)),
+    ])
+    acc = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    lik = np.asarray(imu_gravity_likelihood(rots, acc, math.pi / 4))
+    assert lik[0] > lik[1]
+    peak = float(normal_likelihood(jnp.asarray(0.0), math.pi / 4))
+    assert abs(lik[0] - peak) < 1e-5
+
+
+def test_imu_gravity_tilt_matches_angle():
+    ang = 0.4
+    rot = mq.from_rpy(jnp.asarray([ang, 0.0, 0.0], jnp.float32))[None, :]
+    acc = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    lik = float(imu_gravity_likelihood(rot, acc, math.pi / 4)[0])
+    want = float(normal_likelihood(jnp.asarray(ang), math.pi / 4))
+    assert abs(lik - want) < 1e-5
+
+
+# ------------------------------------------------------------------ clip
+
+
+def test_clip_mask():
+    pts = jnp.asarray([
+        [0.1, 0.0, 0.0],    # too near
+        [3.0, 0.0, 0.0],    # ok
+        [20.0, 0.0, 0.0],   # too far
+        [3.0, 0.0, -5.0],   # below z
+        [3.0, 0.0, 5.0],    # above z
+    ])
+    keep = np.asarray(clip_mask(pts, 0.5, 10.0, -2.0, 2.0))
+    assert keep.tolist() == [False, True, False, False, False]
+
+
+# ------------------------------------------------------------- likelihood
+
+
+def test_likelihood_prefers_true_pose():
+    wall = _wall_points()
+    df = build_distance_field(wall, 0.1, 0.6)
+    # scan of the wall seen from the origin: points at x=2 in base frame
+    scan = _wall_points(x=2.0, half=1.0, grid=0.2)
+    pos = jnp.asarray([[0, 0, 0], [0.5, 0, 0], [-0.5, 0, 0]], jnp.float32)
+    rot = jnp.broadcast_to(mq.identity(), (3, 4))
+    lik, qual = likelihood_measure(
+        df, pos, rot, jnp.asarray(scan, jnp.float32),
+        jnp.ones(len(scan), bool), 0.2, 0.05, 5.0,
+    )
+    lik = np.asarray(lik)
+    assert lik[0] > lik[1] and lik[0] > lik[2]
+    assert float(qual[0]) > 0.9
+
+
+def test_likelihood_score_formula():
+    # single map point, single scan point at known offset
+    df = build_distance_field(np.array([[1.0, 0.0, 0.0]]), 0.02, 0.6)
+    scan = jnp.asarray([[1.0, 0.0, 0.1]], jnp.float32)  # 0.1 away
+    pos = jnp.zeros((1, 3))
+    rot = mq.identity()[None, :]
+    lik, qual = likelihood_measure(
+        df, pos, rot, scan, jnp.ones(1, bool), 0.2, 0.05, 5.0
+    )
+    want = 5.0 * (0.2 - 0.1)
+    assert abs(float(lik[0]) - want) < 0.05
+    assert float(qual[0]) == 1.0
+    # inside the flat floor: distance clamps at match_dist_flat
+    scan2 = jnp.asarray([[1.0, 0.0, 0.01]], jnp.float32)
+    lik2, _ = likelihood_measure(
+        df, pos, rot, scan2, jnp.ones(1, bool), 0.2, 0.05, 5.0
+    )
+    assert abs(float(lik2[0]) - 5.0 * (0.2 - 0.05)) < 0.05
+
+
+def test_likelihood_empty_cloud():
+    df = build_distance_field(np.array([[0.0, 0.0, 0.0]]), 0.1, 0.6)
+    lik, qual = likelihood_measure(
+        df, jnp.zeros((2, 3)), jnp.broadcast_to(mq.identity(), (2, 4)),
+        jnp.zeros((4, 3)), jnp.zeros(4, bool), 0.2, 0.05, 5.0,
+    )
+    assert np.allclose(np.asarray(lik), 1.0)
+    assert np.allclose(np.asarray(qual), 0.0)
+
+
+# ---------------------------------------------------------------- raycast
+
+
+def test_raycast_df_hits_wall():
+    wall = _wall_points()
+    df = build_distance_field(wall, 0.1, 0.6)
+    begin = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    end = jnp.asarray([3.0, 0.0, 0.0], jnp.float32)
+    col, cpos, sin_ang = raycast_df(df, begin, end, 0.1, 0.1, 0.3, 64)
+    assert bool(col)
+    assert abs(float(cpos[0]) - 2.0) < 0.2
+
+
+def test_raycast_df_no_collision():
+    wall = _wall_points()
+    df = build_distance_field(wall, 0.1, 0.6)
+    begin = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    end = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)  # stops before wall
+    col, _, _ = raycast_df(df, begin, end, 0.1, 0.1, 0.3, 64)
+    assert not bool(col)
+
+
+def test_raycast_occ_hits_wall():
+    wall = _wall_world()
+    occ = build_occupancy_grid(wall, 0.2)
+    begin = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    end = jnp.asarray([3.0, 0.0, 0.0], jnp.float32)
+    col, cpos, sin_ang = raycast_occ(occ, begin, end, 0.3, 0xFFFFFFFF, 64)
+    assert bool(col)
+    assert abs(float(cpos[0]) - 2.0) < 0.25
+    assert float(sin_ang) == 1.0  # DDA hardcodes sin (raycast_using_dda.h:151)
+
+
+def test_raycast_occ_outside_map_is_long():
+    wall = _wall_world()
+    occ = build_occupancy_grid(wall, 0.2)
+    begin = jnp.asarray([-50.0, 0.0, 0.0], jnp.float32)
+    end = jnp.asarray([3.0, 0.0, 0.0], jnp.float32)
+    col, _, _ = raycast_occ(occ, begin, end, 0.3, 0xFFFFFFFF, 512)
+    assert not bool(col)  # raycast_using_dda.h:70-75
+
+
+def test_raycast_occ_label_transparency():
+    wall = _wall_world()
+    labels = np.full(len(wall), 5, np.uint32)
+    occ = build_occupancy_grid(wall, 0.2, labels)
+    begin = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    end = jnp.asarray([3.0, 0.0, 0.0], jnp.float32)
+    col_blocked, _, _ = raycast_occ(occ, begin, end, 0.3, 0xFFFFFFFF, 64)
+    col_clear, _, _ = raycast_occ(occ, begin, end, 0.3, 4, 64)
+    assert bool(col_blocked)
+    assert not bool(col_clear)  # labels > filter_label_max are transparent
+
+
+# ------------------------------------------------------------------- beam
+
+
+def _beam_setup(scan_x, use_dda):
+    wall = _wall_world()
+    df = build_distance_field(_wall_points(), 0.1, 0.6)
+    occ = build_occupancy_grid(wall, 0.2)
+    scan = jnp.asarray([[scan_x, 0.0, 0.0]], jnp.float32)
+    kwargs = dict(
+        use_dda=use_dda, map_grid_min=0.1, map_grid_max=0.1, hit_range=0.3,
+        beam_likelihood_min=0.2, num_points_default=1,
+        sin_total_ref=math.sin(math.pi / 6), filter_label_max=0xFFFFFFFF,
+        add_penalty_short_only_mode=True, num_steps=80,
+    )
+    return df, occ, scan, kwargs
+
+
+def _run_beam(df, occ, scan, kwargs, pos):
+    return beam_measure(
+        df, occ, jnp.asarray([pos], jnp.float32),
+        mq.identity()[None, :], scan,
+        jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+        jnp.zeros((1, 3), jnp.float32), **kwargs,
+    )
+
+
+def _sweep(use_dda):
+    # beam endpoint at the wall from the true pose
+    df, occ, scan, kwargs = _beam_setup(2.0, use_dda)
+    # true pose: ray ends at wall -> HIT
+    lik, _, status = _run_beam(df, occ, scan, kwargs, [0.0, 0.0, 0.0])
+    assert int(status[0, 0]) == BeamStatus.HIT
+    assert abs(float(lik[0]) - 1.0) < 1e-6
+    # particle shifted forward: scan endpoint lands beyond the wall,
+    # ray collides well before it -> SHORT, penalized
+    lik_s, _, status_s = _run_beam(df, occ, scan, kwargs, [1.0, 0.0, 0.0])
+    assert int(status_s[0, 0]) == BeamStatus.SHORT
+    assert abs(float(lik_s[0]) - 0.2) < 1e-6
+    # particle shifted back: ray stops short of the wall -> LONG, not
+    # penalized in short-only mode
+    lik_l, _, status_l = _run_beam(df, occ, scan, kwargs, [-1.5, 0.0, 0.0])
+    assert int(status_l[0, 0]) == BeamStatus.LONG
+    assert abs(float(lik_l[0]) - 1.0) < 1e-6
+
+
+def test_beam_sweep_kdtree_mode():
+    _sweep(use_dda=False)
+
+
+def test_beam_sweep_dda_mode():
+    _sweep(use_dda=True)
+
+
+def test_beam_long_penalty_mode():
+    df, occ, scan, kwargs = _beam_setup(2.0, False)
+    kwargs["add_penalty_short_only_mode"] = False
+    lik_l, _, status_l = _run_beam(df, occ, scan, kwargs, [-1.5, 0.0, 0.0])
+    assert int(status_l[0, 0]) == BeamStatus.LONG
+    assert abs(float(lik_l[0]) - 0.2) < 1e-6  # LONG penalized now
+
+
+def test_beam_score_floor():
+    # many SHORT beams: score floors at beam_likelihood_min
+    # (lidar_measurement_model_beam.cpp:151-152)
+    df, occ, _, kwargs = _beam_setup(2.0, False)
+    kwargs["num_points_default"] = 3
+    scan3 = jnp.asarray([[2.5, 0.0, 0.0]] * 3, jnp.float32)
+    lik, _, _ = beam_measure(
+        df, occ, jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32),
+        mq.identity()[None, :], scan3,
+        jnp.zeros(3, jnp.int32), jnp.ones(3, bool),
+        jnp.zeros((1, 3), jnp.float32), **kwargs,
+    )
+    assert abs(float(lik[0]) - 0.2) < 1e-5
