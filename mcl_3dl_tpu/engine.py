@@ -359,9 +359,6 @@ class MCL3DL:
     def _measure(self, t: float) -> Optional[MeasureResult]:
         """measure() preamble (src/mcl_3dl.cpp:304-360): frame transform +
         origin collection, then the fused device step."""
-        self.cnt_measure += 1
-        if self.cnt_measure % max(int(self.params.skip_measure), 1) != 0:
-            return None
         if not self._accum_points:
             self.status.error = ErrorCode.POINTS_NOT_FOUND
             return None
@@ -388,6 +385,11 @@ class MCL3DL:
     # ------------------------------------------------------- measurement step
 
     def _measure_base(self, pts_base, labels, origins_base, t) -> MeasureResult:
+        # skip_measure decimation (src/mcl_3dl.cpp:306-310)
+        self.cnt_measure += 1
+        if self.cnt_measure % max(int(self.params.skip_measure), 1) != 0:
+            return None
+
         p = self.params
         ts = time.monotonic()
 

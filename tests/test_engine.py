@@ -1,0 +1,261 @@
+"""Engine integration tests on procedural worlds.
+
+Mirrors the reference's rostest tier (test_global_localization.cpp,
+test_expansion_resetting.cpp, test_landmark.cpp, ...) but calls the
+engine API directly — no middleware needed.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mcl_3dl_tpu.config import Params
+from mcl_3dl_tpu.engine import MCL3DL
+from mcl_3dl_tpu.math import quat as mq
+from mcl_3dl_tpu.status import ConvergenceStatus, ErrorCode, FilterStatus
+
+from worlds import make_room, simulate_scan
+
+TRUE_POS = np.array([1.0, 0.5, 0.5], np.float32)
+
+
+def make_engine(**overrides):
+    defaults = dict(
+        num_particles=64,
+        init_x=1.0, init_y=0.5, init_z=0.5,
+        init_var_x=0.3, init_var_y=0.3, init_var_z=0.1,
+        init_var_roll=0.05, init_var_pitch=0.05, init_var_yaw=0.2,
+        use_beam_model=False,
+        seed=7,
+    )
+    defaults.update(overrides)
+    params = Params(**defaults)
+    eng = MCL3DL(params)
+    room = make_room(grid=0.15)
+    eng.load_map(room)
+    return eng, room
+
+
+def run_scans(eng, room, pos, rot, n=6, t0=0.0, n_rays=192):
+    res = None
+    for i in range(n):
+        scan = simulate_scan(room, pos, rot, n_rays=n_rays, seed=i)
+        res = eng.measure_direct(
+            scan, np.zeros((1, 3), np.float32),
+            np.zeros(len(scan), np.int32), t0 + 0.1 * (i + 1),
+        )
+    return res
+
+
+def test_measurement_converges_to_true_pose():
+    eng, room = make_engine()
+    rot = np.array([0, 0, 0, 1], np.float32)
+    res = run_scans(eng, room, TRUE_POS, rot, n=8)
+    assert res is not None
+    err = np.linalg.norm(np.asarray(res.raw_pos) - TRUE_POS)
+    assert err < 0.25, (res.raw_pos, TRUE_POS)
+    assert res.match_ratio_max > 0.6
+    assert res.particle_size == 64
+
+
+def test_measurement_with_beam_model():
+    eng, room = make_engine(use_beam_model=True)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    res = run_scans(eng, room, TRUE_POS, rot, n=8)
+    err = np.linalg.norm(np.asarray(res.raw_pos) - TRUE_POS)
+    assert err < 0.3
+
+
+def test_odometry_prediction_moves_particles():
+    eng, _ = make_engine()
+    eng.odometry(np.zeros(3), np.array([0, 0, 0, 1.0]), 0.0)
+    p0 = np.asarray(eng.pstate.pos).mean(axis=0).copy()
+    eng.odometry(np.array([0.5, 0.0, 0.0]), np.array([0, 0, 0, 1.0]), 0.2)
+    p1 = np.asarray(eng.pstate.pos).mean(axis=0)
+    assert abs((p1 - p0)[0] - 0.5) < 0.05
+
+
+def test_odometry_time_jump_resets():
+    eng, _ = make_engine()
+    eng.odometry(np.zeros(3), np.array([0, 0, 0, 1.0]), 0.0)
+    assert eng.has_odom
+    eng.odometry(np.zeros(3), np.array([0, 0, 0, 1.0]), 100.0)  # dt > 5
+    assert not eng.has_odom
+
+
+def test_imu_measure_prefers_upright():
+    eng, _ = make_engine(init_var_roll=0.3, init_var_pitch=0.3)
+    up = np.array([0.0, 0.0, 1.0])
+    q = np.array([0, 0, 0, 1.0])
+    eng.imu(up, q, 0.0)
+    for i in range(20):
+        eng.imu(up, q, 0.1 * (i + 1))
+    rpy = np.abs(np.asarray(mq.to_rpy(eng.pstate.rot)))
+    w = np.asarray(eng.pstate.prob)
+    tilt = float(np.sum(w * (rpy[:, 0] + rpy[:, 1])))
+    # posterior tilt should be below the prior std
+    assert tilt < 0.3
+
+
+def test_points_not_found_error():
+    eng, room = make_engine()
+    # a cloud entirely inside clip_near
+    scan = np.full((50, 3), 0.01, np.float32)
+    res = eng.measure_direct(
+        scan, np.zeros((1, 3), np.float32), np.zeros(50, np.int32), 0.1
+    )
+    assert res.status.error == ErrorCode.POINTS_NOT_FOUND
+
+
+def test_skip_measure_decimation():
+    eng, room = make_engine(skip_measure=2)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    scan = simulate_scan(room, TRUE_POS, rot, n_rays=64, seed=0)
+    r1 = eng.measure_direct(scan, np.zeros((1, 3), np.float32),
+                            np.zeros(len(scan), np.int32), 0.1)
+    r2 = eng.measure_direct(scan, np.zeros((1, 3), np.float32),
+                            np.zeros(len(scan), np.int32), 0.2)
+    assert r1 is None and r2 is not None  # cnt starts at 1 -> skip first
+
+
+def test_expansion_resetting_on_mismatch():
+    # mirror test_expansion_resetting.cpp:248-339 — low match ratio
+    # triggers expansion noise + status
+    eng, room = make_engine(match_ratio_thresh=0.9)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    # scan that doesn't match the map from anywhere near the particles:
+    # a ring inside the clip annulus that lands beyond the room walls
+    ang = np.linspace(-np.pi, np.pi, 64, endpoint=False)
+    bogus = np.stack(
+        [6.0 * np.cos(ang), 6.0 * np.sin(ang), np.full(64, 1.2)], axis=1
+    ).astype(np.float32)
+    res = eng.measure_direct(bogus, np.zeros((1, 3), np.float32),
+                             np.zeros(len(bogus), np.int32), 0.1)
+    assert res.expanded
+    assert res.status.status == FilterStatus.EXPANSION_RESETTING
+    assert res.match_ratio_max < 0.9
+
+
+def test_manual_expansion_reset_spreads_particles():
+    eng, _ = make_engine(init_var_x=0.01, init_var_y=0.01, init_var_z=0.01)
+    std0 = np.asarray(eng.pstate.pos).std(axis=0)
+    eng.expansion_reset()
+    std1 = np.asarray(eng.pstate.pos).std(axis=0)
+    assert (std1 > std0).all()
+
+
+def test_initial_pose_reseed():
+    eng, _ = make_engine()
+    cov = np.diag([0.01, 0.01, 0.01, 0.001, 0.001, 0.001])
+    eng.initial_pose([3.0, -1.0, 0.7], [0, 0, 0, 1.0], cov)
+    pos = np.asarray(eng.pstate.pos[: eng.params.num_particles])
+    assert np.allclose(pos.mean(axis=0), [3.0, -1.0, 0.7], atol=0.1)
+    assert np.allclose(np.asarray(eng.pstate.odom_err_lin), 0.0)
+    with pytest.raises(ValueError):
+        eng.initial_pose([0, 0, 0], [0, 0, 0, 2.0], cov)
+
+
+def test_resize_particles_service():
+    eng, _ = make_engine()
+    eng.resize_particles(256)
+    assert int(eng.pstate.n_active) == 256
+    assert abs(float(jnp.sum(eng.pstate.prob)) - 1.0) < 1e-4
+    eng.resize_particles(32)
+    assert int(eng.pstate.n_active) == 32
+
+
+def test_landmark_shifts_posterior():
+    # mirror test_landmark.cpp:79-143
+    eng, _ = make_engine(
+        init_var_x=1.0, init_var_y=1.0, num_particles=1024,
+        resample_var_x=0.0, resample_var_y=0.0, resample_var_z=0.0,
+        resample_var_roll=0.0, resample_var_pitch=0.0, resample_var_yaw=0.0,
+    )
+    cov = np.diag([0.05, 0.05, 0.05, 0.01, 0.01, 0.01])
+    eng.landmark([1.5, 1.0, 0.5], [0, 0, 0, 1.0], cov)
+    pos, _, w = eng.get_particles()
+    mean = (pos * w[:, None]).sum(axis=0) / w.sum()
+    assert np.linalg.norm(mean - [1.5, 1.0, 0.5]) < 0.2
+
+
+def test_global_localization_recovers():
+    # mirror test_global_localization.cpp:179-327 — relocalize from a
+    # large offset using the service
+    from mcl_3dl_tpu.config import LikelihoodParams
+
+    eng, room = make_engine(
+        global_localization_grid_lin=0.3,   # reference default
+        global_localization_grid_ang=2.1,   # 3 yaw bins (test speed)
+        likelihood=LikelihoodParams(num_points_global=24),
+    )
+    # break the square room's symmetry with a pillar (the reference test
+    # world is likewise asymmetric: cube + offset objects)
+    zz = np.arange(0.0, 2.0, 0.15)
+    yy = np.arange(-2.5, -1.5, 0.15)
+    xx = np.arange(2.5, 3.5, 0.15)
+    gx, gy, gz = np.meshgrid(xx, yy, zz, indexing="ij")
+    pillar = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+    room = np.concatenate([room, pillar], axis=0)
+    eng.load_map(room)
+    # poison the filter far away
+    cov = np.diag([0.01] * 3 + [0.001] * 3)
+    eng.initial_pose([-4.0, -4.0, 0.2], [0, 0, 0, 1.0], cov)
+    n = eng.global_localization()
+    assert n > eng.params.num_particles
+    # global localization seeds on standable surfaces (z = floor), so the
+    # true sensor height must be ground level, as in the reference test
+    true_pos = np.array([1.0, 0.5, 0.0], np.float32)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    res = None
+    for i in range(16):
+        scan = simulate_scan(room, true_pos, rot, n_rays=160,
+                             fov_elev=(0.05, 0.5), seed=i)
+        res = eng.measure_direct(scan, np.zeros((1, 3), np.float32),
+                                 np.zeros(len(scan), np.int32), 0.1 * (i + 1))
+    # a particle near the truth must have been found and refined
+    err = np.linalg.norm(np.asarray(res.raw_pos)[:2] - true_pos[:2])
+    assert err < 0.45, res.raw_pos
+    # particle count decayed back
+    assert res.particle_size == eng.params.num_particles
+    assert res.status.status == FilterStatus.GLOBAL_LOCALIZATION
+
+
+def test_convergence_status():
+    # threshold tuned for the crude simulated scans, as the reference
+    # rostests tune per-test params in their .test launch files
+    eng, room = make_engine(fix_dist=0.4)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    res = run_scans(eng, room, TRUE_POS, rot, n=10)
+    assert res.status.convergence_status == ConvergenceStatus.CONVERGED
+
+
+def test_classify_cloud():
+    eng, room = make_engine()
+    rot = np.array([0, 0, 0, 1], np.float32)
+    scan = simulate_scan(room, TRUE_POS, rot, n_rays=128, seed=0)
+    matched, unmatched = eng.classify_cloud(scan, TRUE_POS, rot)
+    assert matched.sum() > 0.5 * len(scan)
+    garbage = scan + 30.0
+    m2, u2 = eng.classify_cloud(garbage, TRUE_POS, rot)
+    assert u2.all()
+
+
+def test_push_cloud_accumulation():
+    eng, room = make_engine(accum_cloud=2)
+    eng.odometry(np.zeros(3), np.array([0, 0, 0, 1.0]), 0.0)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    results = []
+    # two sensors, round-robin; process fires when sensor "a" returns
+    for i in range(5):
+        scan = simulate_scan(room, TRUE_POS, rot, n_rays=96, seed=i)
+        scan_odom = scan + TRUE_POS  # odom frame == map here; odom at origin
+        key = "a" if i % 2 == 0 else "b"
+        results.append(eng.push_cloud(key, scan_odom, TRUE_POS, 0.1 * i))
+    fired = [r for r in results if r is not None]
+    assert len(fired) >= 1
+
+
+def test_diagnostics():
+    eng, _ = make_engine()
+    d = eng.diagnostics()
+    assert d.ok and d.map_available
