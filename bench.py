@@ -1,0 +1,86 @@
+"""Benchmark: full fused filter update on the flagship config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: particle-likelihood point evaluations per second per chip,
+measured over the complete fused measurement step (clip/sample, the
+likelihood-field kernel over [particles x 96 points], the beam raycast
+over [particles x 3 beams], weight update, bias, expectation, jump/TF
+smoothing, covariance, systematic resampling, noise redraw) at 1M
+particles — i.e. the whole per-scan device graph, not an isolated gather.
+
+Baseline: the reference C++ node's real-time demo workload
+(BASELINE.md): 64 particles x (96 likelihood + 3 beam) points per
+measurement at the ~10 Hz scan rate it keeps up with =
+64 * 99 * 10 = 63,360 particle-point evals/sec on one CPU.
+``vs_baseline`` = value / 63,360.
+
+Run on the real chip (no platform override).  Secondary numbers go to
+stderr; the driver parses stdout's single JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+
+    import __graft_entry__ as ge
+
+    n_particles = 1 << (14 if quick else 20)   # 1M particles flagship
+    eng, args = ge._build_engine_and_inputs(
+        num_particles=n_particles, cloud_points=4096, seed=0
+    )
+    like_pts = eng.params.likelihood.num_points
+    beam_pts = eng.params.beam.num_points
+
+    step = jax.jit(eng._measurement_step, donate_argnums=(0,))
+
+    # warmup / compile
+    t0 = time.monotonic()
+    out = step(*args)
+    jax.block_until_ready(out)
+    compile_s = time.monotonic() - t0
+    print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+
+    iters = 3 if quick else 10
+    state = out[0]
+    t0 = time.monotonic()
+    for _ in range(iters):
+        out = step(state, *args[1:])
+        state = out[0]
+    jax.block_until_ready(out)
+    dt = (time.monotonic() - t0) / iters
+
+    updates_per_sec = 1.0 / dt
+    evals_per_sec = n_particles * (like_pts + beam_pts) / dt
+    baseline = 64 * (like_pts + beam_pts) * 10.0
+
+    print(
+        f"step: {dt*1e3:.2f} ms | {updates_per_sec:.1f} filter updates/s "
+        f"at {n_particles} particles | {evals_per_sec:.3e} point-evals/s",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "particle_likelihood_evals_per_sec_chip",
+        "value": evals_per_sec,
+        "unit": "evals/s",
+        "vs_baseline": evals_per_sec / baseline,
+        "extra": {
+            "filter_updates_per_sec": updates_per_sec,
+            "num_particles": n_particles,
+            "points_per_particle": like_pts + beam_pts,
+            "step_ms": dt * 1e3,
+            "baseline_evals_per_sec": baseline,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
