@@ -30,17 +30,26 @@ import numpy as np
 def main():
     quick = "--quick" in sys.argv
     import jax
+    import jax.numpy as jnp
 
     import __graft_entry__ as ge
 
     n_particles = 1 << (14 if quick else 20)   # 1M particles flagship
-    eng, args = ge._build_engine_and_inputs(
-        num_particles=n_particles, cloud_points=4096, seed=0
-    )
+    # Build inputs on the CPU backend (engine construction is many tiny
+    # ops — dispatching them to a remote chip would dominate), then
+    # materialize on the accelerator via host numpy.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        eng, args_cpu = ge._build_engine_and_inputs(
+            num_particles=n_particles, cloud_points=4096, seed=0
+        )
+    args = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), args_cpu)
     like_pts = eng.params.likelihood.num_points
     beam_pts = eng.params.beam.num_points
 
-    step = jax.jit(eng._measurement_step, donate_argnums=(0,))
+    # NOTE: no buffer donation — the axon remote backend rejects donated
+    # buffers at execution time (INVALID_ARGUMENT).
+    step = jax.jit(eng._measurement_step)
 
     # warmup / compile
     t0 = time.monotonic()

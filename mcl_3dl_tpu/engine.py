@@ -41,6 +41,7 @@ from mcl_3dl_tpu.map.map_data import MapData
 from mcl_3dl_tpu.map.voxel import voxel_downsample
 from mcl_3dl_tpu.math import filters as mf
 from mcl_3dl_tpu.math import quat as mq
+from mcl_3dl_tpu.math import quat_np as mqn
 from mcl_3dl_tpu.math.nd import NormalLikelihoodNd, normal_likelihood
 from mcl_3dl_tpu.models.beam import beam_measure
 from mcl_3dl_tpu.models.imu_gravity import imu_gravity_likelihood
@@ -235,7 +236,7 @@ class MCL3DL:
         rot = np.asarray(rot, np.float64)
         if abs(float(np.sum(rot * rot)) - 1.0) > 0.1:
             raise ValueError("initialpose orientation must be a unit quaternion")
-        rpy = np.asarray(mq.to_rpy(jnp.asarray(rot, jnp.float32)))
+        rpy = mqn.to_rpy(rot)
         cap = self.pstate.capacity
         self.pstate = st.init_multivariate(
             self._next_key(), cap, self.params.num_particles,
@@ -272,7 +273,7 @@ class MCL3DL:
             self.odom_last = t
             self.odom_prev_pos, self.odom_prev_rot = pos, rot
         if self.params.fake_imu:
-            accel = np.asarray(mq.rotate(jnp.asarray(rot), jnp.asarray([0.0, 0.0, 1.0], jnp.float32)))
+            accel = mqn.rotate(rot, np.array([0.0, 0.0, 1.0], np.float32))
             self.imu(accel, rot, t)
 
     def _imu_step(self, state: ParticleState, acc_measure):
@@ -365,21 +366,17 @@ class MCL3DL:
 
         # odom -> base_link with the current odom pose (the node uses TF
         # at the scan stamp; the engine's odom state is that transform).
-        inv_rot = np.asarray(mq.inv(jnp.asarray(self.odom_rot)))
+        inv_rot = mqn.inv(self.odom_rot)
         pts = np.concatenate(self._accum_points, axis=0)
         labels = np.concatenate(
             [np.full((len(p),), i, np.int32)
              for i, p in enumerate(self._accum_points)]
         )
-        pts_base = np.asarray(
-            mq.rotate(jnp.asarray(inv_rot, jnp.float32),
-                      jnp.asarray(pts - self.odom_pos, jnp.float32))
-        )
+        pts_base = mqn.rotate(inv_rot, pts - self.odom_pos).astype(np.float32)
         origins = np.stack(self._accum_origins, axis=0)
-        origins_base = np.asarray(
-            mq.rotate(jnp.asarray(inv_rot, jnp.float32),
-                      jnp.asarray(origins - self.odom_pos, jnp.float32))
-        )
+        origins_base = mqn.rotate(
+            inv_rot, origins - self.odom_pos
+        ).astype(np.float32)
         return self._measure_base(pts_base, labels, origins_base, t)
 
     # ------------------------------------------------------- measurement step

@@ -163,6 +163,19 @@ def build_distance_field(
     dims = np.ceil((max_p - origin) / cell).astype(np.int64) + 1
     nx, ny, nz = (int(d) for d in dims)
 
+    from mcl_3dl_tpu.map.native import build_distance_field_native
+
+    native = build_distance_field_native(points, cell, trunc, origin, dims)
+    if native is not None:
+        q = np.clip(np.round(native / trunc * 255.0), 0, 255).astype(np.uint8)
+        return DistanceField(
+            field=jnp.asarray(q),
+            origin=jnp.asarray(origin, jnp.float32),
+            cell=float(cell),
+            trunc=float(trunc),
+            weights=weights,
+        )
+
     field_flat = np.full(nx * ny * nz, np.float32(trunc), dtype=np.float32)
 
     # Base cell of each point and sort once so all per-offset target id

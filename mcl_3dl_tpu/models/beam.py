@@ -23,6 +23,7 @@ floored at beam_likelihood_min (:146-152).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mcl_3dl_tpu.map.distance_field import DistanceField
@@ -64,22 +65,29 @@ def raycast_df(
     n_probes = jnp.floor((length + hit_tolerance) / map_grid_min)
     direction = seg / jnp.maximum(length, 1e-12)[..., None]
     inc = direction * map_grid_min
-
-    i = jnp.arange(1, num_steps + 1, dtype=jnp.float32)       # [S]
     shape = begin.shape[:-1]
-    probes = begin[..., None, :] + inc[..., None, :] * i.reshape(
-        (1,) * len(shape) + (-1, 1)
-    )                                                          # [..., S, 3]
-    d0 = df.sample_trilinear(probes)                           # [..., S]
-    in_ray = i.reshape((1,) * len(shape) + (-1,)) < n_probes[..., None]
-    hit = (d0 <= radius) & in_ray
 
-    any_hit = jnp.any(hit, axis=-1)
-    first = jnp.argmax(hit, axis=-1)                           # [...]
-    collision_pos = jnp.take_along_axis(
-        probes, first[..., None, None], axis=-2
-    ).squeeze(-2)
-    d0_hit = jnp.take_along_axis(d0, first[..., None], axis=-1).squeeze(-1)
+    # Sequential march with an O(rays) carry — materializing all
+    # [rays, steps, 3] probe positions at once OOMs at 1M particles
+    # (each step is still a fully batched gather over every ray).
+    def body(s, carry):
+        found, cpos, d0_hit = carry
+        i = jnp.float32(s + 1)
+        pos = begin + inc * i
+        d = df.sample_trilinear(pos)
+        hit_now = (d <= radius) & (i < n_probes) & ~found
+        cpos = jnp.where(hit_now[..., None], pos, cpos)
+        d0_hit = jnp.where(hit_now, d, d0_hit)
+        return found | hit_now, cpos, d0_hit
+
+    init = (
+        jnp.zeros(shape, bool),
+        jnp.zeros(shape + (3,), jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    any_hit, collision_pos, d0_hit = jax.lax.fori_loop(
+        0, num_steps, body, init
+    )
 
     # Incidence estimate from the probe two steps back
     # (raycast_using_kdtree.h:88-102).
@@ -126,26 +134,28 @@ def raycast_occ(
     begin_voxel = jnp.floor((begin - occ.origin) / occ.cell).astype(jnp.int32)
 
     shape = begin.shape[:-1]
-    t = (jnp.arange(1, num_steps + 1, dtype=jnp.float32) * step).reshape(
-        (1,) * len(shape) + (-1,)
-    )
-    probes = begin[..., None, :] + direction[..., None, :] * t[..., None]
-    occ_hit, label, point_pos = occ.lookup(probes)             # [..., S]
-    voxel = jnp.floor((probes - occ.origin) / occ.cell).astype(jnp.int32)
-    same_as_begin = jnp.all(voxel == begin_voxel[..., None, :], axis=-1)
 
-    blocked = (
-        occ_hit
-        & (label <= jnp.uint32(filter_label_max))
-        & ~same_as_begin
-        & (t < max_t[..., None])
-        & begin_inside[..., None]
-    )
-    any_hit = jnp.any(blocked, axis=-1)
-    first = jnp.argmax(blocked, axis=-1)
-    collision_pos = jnp.take_along_axis(
-        point_pos, first[..., None, None], axis=-2
-    ).squeeze(-2)
+    # Sequential march, O(rays) carry (see raycast_df).
+    def body(s, carry):
+        found, cpos = carry
+        t = jnp.float32(s + 1) * step
+        pos = begin + direction * t
+        occ_hit, label, point_pos = occ.lookup(pos)
+        voxel = jnp.floor((pos - occ.origin) / occ.cell).astype(jnp.int32)
+        same_as_begin = jnp.all(voxel == begin_voxel, axis=-1)
+        blocked = (
+            occ_hit
+            & (label <= jnp.uint32(filter_label_max))
+            & ~same_as_begin
+            & (t < max_t)
+            & begin_inside
+            & ~found
+        )
+        cpos = jnp.where(blocked[..., None], point_pos, cpos)
+        return found | blocked, cpos
+
+    init = (jnp.zeros(shape, bool), jnp.zeros(shape + (3,), jnp.float32))
+    any_hit, collision_pos = jax.lax.fori_loop(0, num_steps, body, init)
     sin_ang = jnp.where(any_hit, 1.0, 0.0)
     return any_hit, collision_pos, sin_ang
 
