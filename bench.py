@@ -41,7 +41,8 @@ def main():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         eng, args_cpu = ge._build_engine_and_inputs(
-            num_particles=n_particles, cloud_points=4096, seed=0
+            num_particles=n_particles, cloud_points=4096, seed=0,
+            fast=True,   # nearest-cell sampling: the 1M-particle perf config
         )
     args = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), args_cpu)
     like_pts = eng.params.likelihood.num_points
@@ -51,20 +52,24 @@ def main():
     # buffers at execution time (INVALID_ARGUMENT).
     step = jax.jit(eng._measurement_step)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: through the remote-chip relay,
+    # block_until_ready returns before device execution completes, so
+    # all timing below forces an actual VALUE fetch; iterations chain
+    # through the particle state, so fetching the final state's weights
+    # cannot complete until every step has physically run.
     t0 = time.monotonic()
     out = step(*args)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out[0].prob[0]))
     compile_s = time.monotonic() - t0
     print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
-    iters = 3 if quick else 10
+    iters = 3 if quick else 20
     state = out[0]
     t0 = time.monotonic()
     for _ in range(iters):
         out = step(state, *args[1:])
         state = out[0]
-    jax.block_until_ready(out)
+    _ = float(np.asarray(state.prob[0]))
     dt = (time.monotonic() - t0) / iters
 
     updates_per_sec = 1.0 / dt

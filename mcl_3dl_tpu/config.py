@@ -35,6 +35,10 @@ class LikelihoodParams:
     match_weight: float = 5.0
     match_dist_min: float = 0.2
     match_dist_flat: float = 0.05
+    # distance-field sampling: "trilinear" (8 gathers/query, smooth) or
+    # "nearest" (1 gather/query, half-cell quantization).  TPU-framework
+    # addition; global localization always uses nearest.
+    interp: str = "trilinear"
 
 
 @dataclass
@@ -55,6 +59,11 @@ class BeamParams:
     use_raycast_using_dda: bool = False
     ray_angle_half: float = 0.25 * math.pi / 180.0
     dda_grid_size: float = 0.2
+    # static iteration bound for the sphere-tracing raycast march (df
+    # mode).  Rays still marching after this many adaptive steps are
+    # classified LONG; ~2x the typical step count for clip_far=4 with a
+    # 0.6-0.7 m truncated field.  TPU-framework addition.
+    max_sphere_steps: int = 24
 
 
 @dataclass

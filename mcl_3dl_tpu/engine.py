@@ -559,18 +559,43 @@ class MCL3DL:
         beam_labels = cloud_label[beam_idx]
 
         # --- per-particle likelihoods (measure_func, src/mcl_3dl.cpp:402-425)
-        lik_l, qual_l = likelihood_measure(
-            df, state.pos, state.rot, like_pts, like_valid,
-            lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-        )
+        # Trilinear sampling for normal tracking accuracy; 1-gather
+        # nearest-cell sampling during global localization (huge particle
+        # counts, pose uncertainty >> half a cell).
+        in_global_mode = state.n_active > p.num_particles
+        if lp.interp == "nearest":
+            lik_l, qual_l = likelihood_measure(
+                df, state.pos, state.rot, like_pts, like_valid,
+                lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
+                trilinear=False,
+            )
+        else:
+            lik_l, qual_l = jax.lax.cond(
+                in_global_mode,
+                lambda: likelihood_measure(
+                    df, state.pos, state.rot, like_pts, like_valid,
+                    lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
+                    trilinear=False,
+                ),
+                lambda: likelihood_measure(
+                    df, state.pos, state.rot, like_pts, like_valid,
+                    lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
+                    trilinear=True,
+                ),
+            )
         if p.use_beam_model:
-            num_steps = int(
-                math.ceil(
-                    (bp.clip_far + bp.hit_range)
-                    / (bp.dda_grid_size * 0.5 if bp.use_raycast_using_dda
-                       else p.map_grid_min)
+            if bp.use_raycast_using_dda:
+                num_steps = int(
+                    math.ceil((bp.clip_far + bp.hit_range)
+                              / (bp.dda_grid_size * 0.5))
+                ) + 2
+            else:
+                # sphere tracing: adaptive steps, bounded iteration count
+                num_steps = min(
+                    bp.max_sphere_steps,
+                    int(math.ceil((bp.clip_far + bp.hit_range)
+                                  / p.map_grid_min)) + 2,
                 )
-            ) + 2
             lik_b, _, _ = beam_measure(
                 df_beam, occ, state.pos, state.rot, beam_pts, beam_labels,
                 beam_valid, origins,

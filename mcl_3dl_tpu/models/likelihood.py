@@ -41,11 +41,17 @@ def likelihood_measure(
     match_dist_min: float,
     match_dist_flat: float,
     match_weight: float,
+    trilinear: bool = True,
 ):
     """Returns ``(likelihood[N], quality[N])``.
 
     An all-invalid cloud returns (1, 0) per particle, matching the empty
     guard at lidar_measurement_model_likelihood.cpp:111-114.
+
+    ``trilinear=False`` uses nearest-cell sampling (1 gather per query
+    instead of 8) — the engine switches to it during global localization
+    where particle counts are ~100k-1M and half-cell quantization is far
+    below the pose uncertainty.
     """
     rmat = mq.rotation_matrix(mq.normalize(rot))          # [N, 3, 3]
     # [N, K, 3] = points @ R^T + pos
@@ -54,7 +60,10 @@ def likelihood_measure(
                    preferred_element_type=jnp.float32)
         + pos[:, None, :]
     )
-    d = df.sample_trilinear(transformed)                   # [N, K]
+    if trilinear:
+        d = df.sample_trilinear(transformed)               # [N, K]
+    else:
+        d = df.sample_nearest(transformed)
     matched = (d <= match_dist_min) & valid[None, :]
     contrib = match_weight * (match_dist_min - jnp.maximum(d, match_dist_flat))
     contrib = jnp.maximum(contrib, 0.0)                    # "if dist < 0 continue"
