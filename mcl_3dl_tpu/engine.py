@@ -816,6 +816,18 @@ class MCL3DL:
         matched = (~unmatched) & (d < p.match_output_dist)
         return np.asarray(matched), np.asarray(unmatched)
 
+    def save_accumulated_pcd(self, path) -> int:
+        """Dump the accumulated matched scans (output_pcd mode) to a PCD
+        file — the reference's shutdown dump (src/mcl_3dl.cpp:1340-1348).
+        Returns the number of points written."""
+        from mcl_3dl_tpu.io.pcd import write_pcd
+
+        if not self._pc_all_accum:
+            return 0
+        pts = np.concatenate(self._pc_all_accum, axis=0)
+        write_pcd(path, pts)
+        return len(pts)
+
     def diagnostics(self) -> Diagnostics:
         """diagnoseStatus (src/mcl_3dl.cpp:1127-1148)."""
         if self.status.error == ErrorCode.POINTS_NOT_FOUND:

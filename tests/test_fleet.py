@@ -1,0 +1,47 @@
+"""Fleet batching: many robots, one shared map, one device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcl_3dl_tpu.parallel import fleet_filter_step, make_mesh, shard_state
+from mcl_3dl_tpu import state as st
+
+
+def test_fleet_step_runs_and_is_per_robot():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    R = 2
+    eng, args = ge._build_engine_and_inputs(num_particles=64, cloud_points=256)
+    mesh = make_mesh(8, robots=R)
+
+    def batch(x):
+        return jnp.stack([x] * R)
+
+    state_b = jax.tree.map(batch, args[0])
+    # robot 1 gets a shifted odometry pose -> different published pose
+    odom_pos_b = jnp.stack([args[10], args[10] + 1.0])
+
+    step = fleet_filter_step(eng, mesh)
+    out = step(
+        state_b,
+        jax.random.split(jax.random.PRNGKey(0), R),
+        args[2], args[3], args[4],
+        batch(args[5]), batch(args[6]), batch(args[7]), batch(args[8]),
+        batch(args[9]), odom_pos_b, batch(args[11]),
+        batch(args[12]), batch(args[13]),
+        jax.tree.map(batch, args[14]), jax.tree.map(batch, args[15]),
+        batch(args[16]),
+    )
+    jax.block_until_ready(out)
+    new_state, aux = out[0], out[-1]
+    assert new_state.pos.shape[0] == R
+    e_pos = np.asarray(aux["e_pos"])
+    assert e_pos.shape == (R, 3)
+    assert np.isfinite(e_pos).all()
+    # the raw biased mean is odometry-independent, but the published
+    # (smoothed, recomposed) pose must differ by the odom offset
+    pub = np.asarray(aux["pub_pos"])
+    assert not np.allclose(pub[0], pub[1], atol=1e-3)
