@@ -191,6 +191,9 @@ class Params:
     df_cell_size: Optional[float] = None
     # fleet batch size (leading "robots" axis); 1 keeps reference semantics.
     num_robots: int = 1
+    # debug: host-side finiteness assertions on step outputs (the
+    # reference's assert(isfinite(...)) guards, src/mcl_3dl.cpp:454-460).
+    debug_finite_checks: bool = False
 
     def __post_init__(self):
         if self.fake_imu and self.fake_odom:

@@ -432,8 +432,21 @@ class MCL3DL:
             self.state_prev_pos, self.state_prev_rot,
             self.f_pos, self.f_ang,
             jnp.asarray(self.global_localization_fix_cnt > 0),
+            # live-tunable warn thresholds (dynamic_reconfigure parity,
+            # cfg/MCL3DLParams.cfg + parameters.cpp:320-325): traced
+            # inputs so updating Params needs no recompile
+            jnp.asarray([p.std_warn_thresh_xy, p.std_warn_thresh_z,
+                         p.std_warn_thresh_yaw], jnp.float32),
         )
         aux = jax.device_get(aux)
+
+        if p.debug_finite_checks:
+            # assert(isfinite(...)) guards (src/mcl_3dl.cpp:454-460,686-692)
+            for name in ("e_pos", "e_rot", "pub_pos", "pub_rot", "cov"):
+                if not np.isfinite(np.asarray(aux[name])).all():
+                    raise FloatingPointError(
+                        f"non-finite {name} in measurement step: {aux[name]}"
+                    )
 
         if aux["points_not_found"]:
             self.status.error = ErrorCode.POINTS_NOT_FOUND
@@ -498,7 +511,7 @@ class MCL3DL:
         self, state, key, df, df_beam, occ,
         cloud, cloud_label, cloud_valid, normals, origins,
         odom_pos, odom_rot, prev_pos, prev_rot,
-        f_pos, f_ang, is_global_fix,
+        f_pos, f_ang, is_global_fix, std_warn_thresh=None,
     ):
         """The fused measurement update (src/mcl_3dl.cpp:363-893 on device)."""
         p = self.params
@@ -660,10 +673,15 @@ class MCL3DL:
 
         # --- covariance + convergence (src/mcl_3dl.cpp:704-751)
         cov = pf.covariance(state2)
+        if std_warn_thresh is None:
+            std_warn_thresh = jnp.asarray(
+                [p.std_warn_thresh_xy, p.std_warn_thresh_z,
+                 p.std_warn_thresh_yaw], jnp.float32,
+            )
         large_std = (~is_global_fix) & (
-            (jnp.sqrt(cov[0, 0] + cov[1, 1]) > p.std_warn_thresh_xy)
-            | (jnp.sqrt(cov[2, 2]) > p.std_warn_thresh_z)
-            | (jnp.sqrt(cov[5, 5]) > p.std_warn_thresh_yaw)
+            (jnp.sqrt(cov[0, 0] + cov[1, 1]) > std_warn_thresh[0])
+            | (jnp.sqrt(cov[2, 2]) > std_warn_thresh[1])
+            | (jnp.sqrt(cov[5, 5]) > std_warn_thresh[2])
         )
         fix_ang = jnp.sqrt(cov[3, 3] + cov[4, 4] + cov[5, 5])
         fix_dist = jnp.sqrt(cov[0, 0] + cov[1, 1] + cov[2, 2])
@@ -680,17 +698,23 @@ class MCL3DL:
         )
         state3 = state3._replace(noise=new_noise)
 
-        # --- expansion resetting (src/mcl_3dl.cpp:853-864)
+        # --- expansion resetting (src/mcl_3dl.cpp:853-864); lax.cond so
+        # the noise redraw only executes on the (rare) trigger
         expanded = match_ratio_max < p.match_ratio_thresh
-        state4 = _tree_where(
-            expanded, pf.add_noise(state3, k_expand, self._expansion_sigma), state3
+        state4 = jax.lax.cond(
+            expanded,
+            lambda s: pf.add_noise(s, k_expand, self._expansion_sigma),
+            lambda s: s,
+            state3,
         )
 
         # --- global-localization decay (src/mcl_3dl.cpp:875-888)
         reduced = (nf32 * 0.75).astype(jnp.int32)
         new_n = jnp.where(reduced > p.num_particles, reduced, p.num_particles)
         did_resize = state4.n_active > p.num_particles
-        state5 = _tree_where(did_resize, pf.resize(state4, new_n), state4)
+        state5 = jax.lax.cond(
+            did_resize, lambda s: pf.resize(s, new_n), lambda s: s, state4
+        )
 
         # all-filtered-out guard: leave the filter untouched
         # (src/mcl_3dl.cpp:385-391)
@@ -815,6 +839,40 @@ class MCL3DL:
         unmatched = d > p.unmatch_output_dist
         matched = (~unmatched) & (d < p.match_output_dist)
         return np.asarray(matched), np.asarray(unmatched)
+
+    def debug_beam_status(self, pos, rot, points_base, origin_indices,
+                          origins_base):
+        """Beam classification at a given pose — the data behind the
+        reference's rviz ray/collision markers (src/mcl_3dl.cpp:464-628).
+
+        Returns (status[B], collision-ish info is in the status codes).
+        """
+        p = self.params
+        bp = p.beam
+        num_steps = (
+            int(math.ceil((bp.clip_far + bp.hit_range)
+                          / (bp.dda_grid_size * 0.5)) + 2)
+            if bp.use_raycast_using_dda else bp.max_sphere_steps
+        )
+        _, _, status = beam_measure(
+            self.map.df_beam, self.map.occ,
+            jnp.asarray(pos, jnp.float32)[None, :],
+            jnp.asarray(rot, jnp.float32)[None, :],
+            jnp.asarray(points_base, jnp.float32),
+            jnp.asarray(origin_indices, jnp.int32),
+            jnp.ones(len(points_base), bool),
+            jnp.asarray(origins_base, jnp.float32),
+            use_dda=bp.use_raycast_using_dda,
+            map_grid_min=p.map_grid_min, map_grid_max=p.map_grid_max,
+            hit_range=bp.hit_range,
+            beam_likelihood_min=bp.beam_likelihood,
+            num_points_default=max(bp.num_points, 1),
+            sin_total_ref=math.sin(bp.ang_total_ref),
+            filter_label_max=bp.filter_label_max,
+            add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
+            num_steps=num_steps,
+        )
+        return np.asarray(status[0])
 
     def save_accumulated_pcd(self, path) -> int:
         """Dump the accumulated matched scans (output_pcd mode) to a PCD
