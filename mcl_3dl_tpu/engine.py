@@ -138,6 +138,7 @@ class MCL3DL:
         # accumulated scan (odom frame) — accumClear (:267-272)
         self._accum_points: list[np.ndarray] = []
         self._accum_origins: list[np.ndarray] = []
+        self._accum_odom: list = []
         self._pc_all_accum: list[np.ndarray] = []
 
         self._step_cache: dict = {}
@@ -311,6 +312,7 @@ class MCL3DL:
     def _accum_clear(self) -> None:
         self._accum_points = []
         self._accum_origins = []
+        self._accum_odom = []
 
     def push_cloud(
         self,
@@ -342,6 +344,9 @@ class MCL3DL:
             pts, origin = msg
             self._accum_points.append(np.asarray(pts, np.float64).reshape(-1, 3))
             self._accum_origins.append(np.asarray(origin, np.float64).reshape(3))
+            # odometry at the cloud's stamp — stands in for the TF lookup
+            # the node does at measure time (src/mcl_3dl.cpp:319-335)
+            self._accum_odom.append((self.odom_pos.copy(), self.odom_rot.copy()))
             return True
 
         self.accum.push(
@@ -364,19 +369,20 @@ class MCL3DL:
             self.status.error = ErrorCode.POINTS_NOT_FOUND
             return None
 
-        # odom -> base_link with the current odom pose (the node uses TF
-        # at the scan stamp; the engine's odom state is that transform).
-        inv_rot = mqn.inv(self.odom_rot)
+        # odom -> base_link at the LAST accumulated cloud's stamp (the
+        # node looks up TF at pc_accum_header_.back().stamp,
+        # src/mcl_3dl.cpp:317-335); using the newest odometry instead
+        # would smear the scan by the motion since that cloud arrived.
+        odom_pos, odom_rot = self._accum_odom[-1]
+        inv_rot = mqn.inv(odom_rot)
         pts = np.concatenate(self._accum_points, axis=0)
         labels = np.concatenate(
             [np.full((len(p),), i, np.int32)
              for i, p in enumerate(self._accum_points)]
         )
-        pts_base = mqn.rotate(inv_rot, pts - self.odom_pos).astype(np.float32)
+        pts_base = mqn.rotate(inv_rot, pts - odom_pos).astype(np.float32)
         origins = np.stack(self._accum_origins, axis=0)
-        origins_base = mqn.rotate(
-            inv_rot, origins - self.odom_pos
-        ).astype(np.float32)
+        origins_base = mqn.rotate(inv_rot, origins - odom_pos).astype(np.float32)
         return self._measure_base(pts_base, labels, origins_base, t)
 
     # ------------------------------------------------------- measurement step
