@@ -45,8 +45,19 @@ def main():
             fast=True,   # nearest-cell sampling: the 1M-particle perf config
         )
     args = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), args_cpu)
+
+    # breakdown controls (diagnostics, not the headline run)
+    import dataclasses
+    import os
+    if os.environ.get("BENCH_NO_BEAM"):
+        eng.params.use_beam_model = False
+    if os.environ.get("BENCH_LIKE_POINTS"):
+        eng.params.likelihood = dataclasses.replace(
+            eng.params.likelihood,
+            num_points=int(os.environ["BENCH_LIKE_POINTS"]),
+        )
     like_pts = eng.params.likelihood.num_points
-    beam_pts = eng.params.beam.num_points
+    beam_pts = eng.params.beam.num_points if eng.params.use_beam_model else 0
 
     # NOTE: no buffer donation — the axon remote backend rejects donated
     # buffers at execution time (INVALID_ARGUMENT).

@@ -139,6 +139,7 @@ class MCL3DL:
         self._accum_points: list[np.ndarray] = []
         self._accum_origins: list[np.ndarray] = []
         self._accum_odom: list = []
+        self._last_scan_base: Optional[np.ndarray] = None
         self._pc_all_accum: list[np.ndarray] = []
 
         self._step_cache: dict = {}
@@ -402,6 +403,7 @@ class MCL3DL:
             attrs=np.asarray(labels, np.float64)[:, None],
         )
         lbl_ds = np.round(attrs[:, 0]).astype(np.int32)
+        self._last_scan_base = pts_ds
 
         n_pts = pts_ds.shape[0]
         bucket = _bucket(max(n_pts, 1), 256)
@@ -801,6 +803,108 @@ class MCL3DL:
         self.pstate = st.zeros(cap, n)._replace(
             pos=pos, rot=rot,
             prob=jnp.asarray(np.where(active, prob, 0.0), jnp.float32),
+            prob_bias=jnp.ones((cap,), jnp.float32),
+        )
+        return n
+
+    def global_localization_correlative(
+        self,
+        num_seeds: int = 1024,
+        yaw_bins: Optional[int] = None,
+        scan_points_base: Optional[np.ndarray] = None,
+    ) -> int:
+        """One-shot dense global localization (TPU-native addition).
+
+        Scores every (x, y) map cell x yaw bin against the latest scan by
+        FFT cross-correlation of the planar likelihood field
+        (map/correlative.py), then seeds the particle filter with the
+        top candidates (z from the standable-surface map, yaw composed
+        with the IMU attitude like src/mcl_3dl.cpp:1087-1089).  Replaces
+        the reference's 100k-particle seed-and-decay search with one
+        device pass; the particle filter refines from there.
+        """
+        from mcl_3dl_tpu.map.correlative import (
+            build_planar_field,
+            correlate_scan,
+            top_candidates,
+        )
+
+        if not self.has_map:
+            raise RuntimeError("No map received.")
+        if scan_points_base is None:
+            scan_points_base = self._last_scan_base
+        if scan_points_base is None or len(scan_points_base) == 0:
+            raise RuntimeError("No scan available for correlation.")
+        p = self.params
+        lp = p.likelihood
+        scan = np.asarray(scan_points_base, np.float32)
+        keep = np.asarray(clip_mask(
+            jnp.asarray(scan), lp.clip_near, lp.clip_far,
+            lp.clip_z_min, lp.clip_z_max,
+        ))
+        scan = scan[keep]
+        if len(scan) == 0:
+            raise RuntimeError("All scan points clipped.")
+
+        df = self.map.df
+        # padding must cover the scan footprint so circular FFT
+        # correlation never wraps a real peak
+        pad = int(np.ceil(lp.clip_far / df.cell)) + 2
+        field2d = build_planar_field(
+            df, lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
+            z_lo=-np.inf, z_hi=np.inf, pad_cells=pad,
+        )
+        w = np.asarray(df.weights)
+        scan_xyw = jnp.asarray(scan[:, :2] * w[None, :2], jnp.float32)
+        nbins = yaw_bins or max(p.global_localization_div_yaw, 36)
+        yaws = jnp.asarray(
+            2.0 * np.pi * np.arange(nbins) / nbins, jnp.float32
+        )
+        scores = correlate_scan(field2d, scan_xyw, yaws)
+        xs, ys, yaw_is, vals = jax.device_get(
+            top_candidates(scores, field2d, num_seeds)
+        )
+        good = np.isfinite(vals) & (vals > 0)
+        xs, ys, yaw_is, vals = xs[good], ys[good], yaw_is[good], vals[good]
+        n = len(xs)
+        if n == 0:
+            return int(self.pstate.n_active)
+
+        # z from the nearest standable surface point (same surface model
+        # the reference seeds from, src/mcl_3dl.cpp:1050-1074)
+        grid = p.global_localization_grid_lin
+        surf = voxel_downsample(self.map.points, grid)
+        surf = surf[_standable_mask(surf, grid, p.dist_weight)]
+        if len(surf) == 0:
+            surf = self.map.points
+        cand_xy = np.stack([xs / w[0], ys / w[1]], axis=1)
+        d2 = (
+            (surf[None, :, 0] - cand_xy[:, None, 0]) ** 2
+            + (surf[None, :, 1] - cand_xy[:, None, 1]) ** 2
+        )
+        zs = surf[np.argmin(d2, axis=1), 2]
+
+        self._grow_capacity(n)
+        cap = self.pstate.capacity
+        idx = np.arange(cap)
+        sel = np.minimum(idx, n - 1)
+        pos = np.stack([cand_xy[sel, 0], cand_xy[sel, 1], zs[sel]], axis=1)
+        yaw = 2.0 * np.pi * np.asarray(yaw_is)[sel] / nbins
+        rpy = np.stack([np.zeros(cap), np.zeros(cap), yaw], axis=1)
+        rot = mq.normalize(mq.mul(
+            mq.from_rpy(jnp.asarray(rpy, jnp.float32)),
+            jnp.asarray(self.imu_quat),
+        ))
+        active = idx < n
+        # seed weights proportional to the correlation score — unlike the
+        # reference's uniform seeding we already know each hypothesis's
+        # field match, so the first refinement update starts informed
+        score = np.asarray(vals)[sel]
+        prob = np.where(active, score / max(score[:n].sum(), 1e-12), 0.0)
+        self.pstate = st.zeros(cap, n)._replace(
+            pos=jnp.asarray(pos, jnp.float32),
+            rot=rot,
+            prob=jnp.asarray(prob, jnp.float32),
             prob_bias=jnp.ones((cap,), jnp.float32),
         )
         return n
