@@ -45,7 +45,6 @@ from mcl_3dl_tpu.math import quat_np as mqn
 from mcl_3dl_tpu.math.nd import NormalLikelihoodNd, normal_likelihood
 from mcl_3dl_tpu.models.beam import beam_measure
 from mcl_3dl_tpu.models.imu_gravity import imu_gravity_likelihood
-from mcl_3dl_tpu.models.landmark import landmark_likelihood
 from mcl_3dl_tpu.models.likelihood import clip_mask, likelihood_measure
 from mcl_3dl_tpu.models.motion import (
     OdomDelta,
@@ -151,6 +150,7 @@ class MCL3DL:
             )
         )
         self._imu_jit = jax.jit(self._imu_step)
+        self._landmark_jit = jax.jit(self._landmark_step)
         self._resample_sigma = jnp.asarray(
             [p.resample_var_x, p.resample_var_y, p.resample_var_z,
              p.resample_var_roll, p.resample_var_pitch, p.resample_var_yaw],
@@ -909,19 +909,27 @@ class MCL3DL:
         )
         return n
 
+    def _landmark_step(self, state, key, mpos, mrot, nd_a, nd_sigma_inv):
+        d_pos = state.pos - mpos
+        d_rot = mq.mul(mq.inv(mrot), state.rot)
+        diff6 = jnp.concatenate([d_pos, mq.to_rpy(d_rot)], axis=-1)
+        quad = jnp.einsum("ni,ij,nj->n", diff6, nd_sigma_inv, diff6)
+        lik = nd_a * jnp.exp(-0.5 * quad)
+        state2, _ = pf.measure(state, lik)
+        return pf.resample(state2, key, self._resample_sigma)
+
     def landmark(self, pos, rot, cov66) -> None:
-        """Landmark pose measurement (cbLandmark, src/mcl_3dl.cpp:899-940)."""
+        """Landmark pose measurement (cbLandmark, src/mcl_3dl.cpp:899-940).
+
+        The Gaussian's normalization/inverse are host-precomputed like
+        the reference's NormalLikelihoodNd constructor and passed as
+        arrays so the jitted step is compiled once per capacity.
+        """
         nd = NormalLikelihoodNd(cov66)
-
-        @jax.jit
-        def step(state, key, mpos, mrot):
-            lik = landmark_likelihood(state.pos, state.rot, mpos, mrot, nd)
-            state2, _ = pf.measure(state, lik)
-            return pf.resample(state2, key, self._resample_sigma)
-
-        self.pstate = step(
+        self.pstate = self._landmark_jit(
             self.pstate, self._next_key(),
             jnp.asarray(pos, jnp.float32), jnp.asarray(rot, jnp.float32),
+            jnp.asarray(nd.a, jnp.float32), nd.sigma_inv,
         )
 
     # ------------------------------------------------------------ inspection

@@ -116,28 +116,18 @@ def resample(state: ParticleState, key: jax.Array, sigma6) -> ParticleState:
     dup = (idx == prev_idx) & mask
 
     new_state = _gather_states(state, idx)
+    # noise is zeroed on non-duplicated draws, and applying zero noise is
+    # an exact no-op (identity quaternion product, +0 adds), so a single
+    # masked apply covers both branches of pf.h:214-223
     noise6 = (
         jax.random.normal(key_n, (cap, 6), jnp.float32)
         * jnp.asarray(sigma6, jnp.float32)
         * dup[:, None]
     )
-    jittered = st.apply_noise_6dof(new_state, noise6)
-    # normalize() is only applied on the jittered branch (pf.h:217).
-    rot = jnp.where(dup[:, None], mq.normalize(jittered.rot), new_state.rot)
-    jittered = jittered._replace(rot=rot)
-
-    def pick(a, b):
-        d = dup.reshape((-1,) + (1,) * (a.ndim - 1))
-        return jnp.where(d, a, b)
-
-    out = new_state._replace(
-        pos=pick(jittered.pos, new_state.pos),
-        rot=rot,
-        odom_err_lin=pick(jittered.odom_err_lin, new_state.odom_err_lin),
-        odom_err_ang=pick(jittered.odom_err_ang, new_state.odom_err_ang),
-        prob=mask / nf,
-    )
-    return out
+    out = st.apply_noise_6dof(new_state, noise6)
+    # normalize() is only applied on the jittered branch (pf.h:217)
+    rot = jnp.where(dup[:, None], mq.normalize(out.rot), out.rot)
+    return out._replace(rot=rot, prob=mask / nf)
 
 
 def add_noise(state: ParticleState, key: jax.Array, sigma6) -> ParticleState:

@@ -316,3 +316,29 @@ def test_beam_score_floor():
         jnp.zeros((1, 3), jnp.float32), **kwargs,
     )
     assert abs(float(lik[0]) - 0.2) < 1e-5
+
+
+# ---------------------------------------------------------------- landmark
+
+
+def test_landmark_likelihood_peaks_at_measurement():
+    from mcl_3dl_tpu.math.nd import NormalLikelihoodNd
+    from mcl_3dl_tpu.models.landmark import landmark_likelihood
+
+    nd = NormalLikelihoodNd(np.diag([0.1] * 6))
+    pos = jnp.asarray([[1.0, 2.0, 0.5], [1.5, 2.0, 0.5]], jnp.float32)
+    rot = jnp.broadcast_to(mq.identity(), (2, 4))
+    lik = np.asarray(landmark_likelihood(
+        pos, rot, jnp.asarray([1.0, 2.0, 0.5], jnp.float32),
+        mq.identity(), nd,
+    ))
+    assert lik[0] > lik[1]
+    # rotation offset also penalized via the rpy difference
+    rot2 = jnp.stack([mq.identity(),
+                      mq.from_rpy(jnp.asarray([0, 0, 0.5], jnp.float32))])
+    pos2 = jnp.broadcast_to(jnp.asarray([1.0, 2.0, 0.5]), (2, 3))
+    lik2 = np.asarray(landmark_likelihood(
+        pos2, rot2, jnp.asarray([1.0, 2.0, 0.5], jnp.float32),
+        mq.identity(), nd,
+    ))
+    assert lik2[0] > lik2[1]
