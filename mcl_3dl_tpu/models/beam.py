@@ -99,8 +99,10 @@ def raycast_df(
         jnp.zeros(shape + (3,), jnp.float32),
         jnp.zeros(shape, jnp.float32),
     )
+    # unroll to amortize while-loop per-iteration overhead (measured
+    # significant at 1M rays on TPU)
     any_hit, _, collision_pos, d0_hit = jax.lax.fori_loop(
-        0, num_steps, body, init
+        0, num_steps, body, init, unroll=4
     )
 
     # Incidence estimate from the probe two steps back
@@ -169,7 +171,8 @@ def raycast_occ(
         return found | blocked, cpos
 
     init = (jnp.zeros(shape, bool), jnp.zeros(shape + (3,), jnp.float32))
-    any_hit, collision_pos = jax.lax.fori_loop(0, num_steps, body, init)
+    any_hit, collision_pos = jax.lax.fori_loop(0, num_steps, body, init,
+                                               unroll=4)
     sin_ang = jnp.where(any_hit, 1.0, 0.0)
     return any_hit, collision_pos, sin_ang
 
