@@ -546,16 +546,20 @@ class MCL3DL:
 
         if p.use_random_sampler_with_normal:
             sw = p.random_sampler_with_normal
-            cov_prev = pf.covariance(state)
+            # prev-state statistics (setParticleStatistics,
+            # src/mcl_3dl.cpp:369-375)
+            mean_pos_prev, mean_rot_prev = pf.expectation(state)
+            cov_prev = st.covariance6(state, state.prob, mean_pos_prev,
+                                      mean_rot_prev)
             weights = sampler_with_normal_weights(
-                normals, like_keep, cov_prev[:3, :3],
+                normals, like_keep, cov_prev[:3, :3], mean_rot_prev,
                 sw.perform_weighting_ratio, sw.max_weight_ratio, sw.max_weight,
             )
             like_pts, like_ok, like_idx = sample_weighted_without_replacement(
                 k_like, cloud, weights, lp.num_points
             )
             bweights = sampler_with_normal_weights(
-                normals, beam_keep, cov_prev[:3, :3],
+                normals, beam_keep, cov_prev[:3, :3], mean_rot_prev,
                 sw.perform_weighting_ratio, sw.max_weight_ratio, sw.max_weight,
             )
             beam_pts, beam_ok, beam_idx = sample_weighted_without_replacement(

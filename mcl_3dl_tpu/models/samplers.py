@@ -85,31 +85,43 @@ def estimate_normals_host(
 
 
 def sampler_with_normal_weights(
-    normals: jnp.ndarray,        # [P, 3] per-point normals
+    normals: jnp.ndarray,        # [P, 3] per-point normals (base frame)
     valid: jnp.ndarray,          # [P]
-    pos_cov: jnp.ndarray,        # [3, 3] particle position covariance
+    pos_cov: jnp.ndarray,        # [3, 3] particle position covariance (map)
+    mean_rot: jnp.ndarray,       # [4] mean pose quaternion
     perform_weighting_ratio: float,
     max_weight_ratio: float,
     max_weight: float,
 ):
     """Per-point importance weights from the particle covariance.
 
-    Mirrors point_cloud_sampler_with_normal.h:110-158: find the
-    dominant position-uncertainty eigenvector; ramp the weight of
-    points whose |normal . direction| is large, from 1 at
-    eigenvalue-ratio <= perform_weighting_ratio up to ``max_weight`` at
-    ratio >= max_weight_ratio.
+    Mirrors point_cloud_sampler_with_normal.h:110-158: take the dominant
+    position-uncertainty eigenvector (of the elementwise-abs covariance,
+    :83), rotate it into the mean pose's local frame (:128-129, where the
+    scan normals live), and ramp each point's weight linearly in the
+    angle between its normal and that direction
+    (``w = 1 + (max_w-1)(pi/2 - angle)/(pi/2)``, :154-155); the overall
+    amplification ramps with the sqrt eigenvalue ratio between
+    ``perform_weighting_ratio`` and ``max_weight_ratio`` (:110-127).
     """
-    w, v = jnp.linalg.eigh(pos_cov)
-    # eigh sorts ascending: largest eigenvalue last, second-largest one before.
+    from mcl_3dl_tpu.math import quat as mq
+
+    w, v = jnp.linalg.eigh(jnp.abs(pos_cov))
+    # eigh sorts ascending: largest eigenvalue last, second-largest before.
     ratio = jnp.sqrt(jnp.maximum(w[2], 0.0) / jnp.maximum(w[1], 1e-12))
-    direction = v[:, 2]
+    direction = mq.rotate(mq.inv(mean_rot), v[:, 2])
     t = (ratio - perform_weighting_ratio) / (
         max_weight_ratio - perform_weighting_ratio
     )
     amp = 1.0 + jnp.clip(t, 0.0, 1.0) * (max_weight - 1.0)
-    align = jnp.abs(jnp.sum(normals * direction, axis=-1))
-    weights = 1.0 + align * (amp - 1.0)
+    cos = jnp.clip(jnp.abs(jnp.sum(normals * direction, axis=-1)), 0.0, 1.0)
+    angle = jnp.arccos(cos)
+    half_pi = jnp.pi / 2
+    weights = 1.0 + (amp - 1.0) * ((half_pi - angle) / half_pi)
+    # zero normals (too few neighbors) keep weight 1 like the NaN guard
+    # at :144-156
+    no_normal = jnp.sum(normals * normals, axis=-1) < 1e-12
+    weights = jnp.where(no_normal, 1.0, weights)
     return jnp.where(valid, weights, 0.0)
 
 

@@ -259,3 +259,14 @@ def test_diagnostics():
     eng, _ = make_engine()
     d = eng.diagnostics()
     assert d.ok and d.map_available
+
+
+def test_measurement_with_normal_sampler():
+    # exercises the use_random_sampler_with_normal step branch
+    # (setParticleStatistics + weighted draw, src/mcl_3dl.cpp:369-375)
+    eng, room = make_engine(use_random_sampler_with_normal=True)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    res = run_scans(eng, room, TRUE_POS, rot, n=6, n_rays=128)
+    assert res is not None
+    err = np.linalg.norm(np.asarray(res.raw_pos) - TRUE_POS)
+    assert err < 0.35, res.raw_pos

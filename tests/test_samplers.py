@@ -62,8 +62,10 @@ def test_with_normal_weights_prefer_aligned():
     )
     valid = jnp.ones(3, bool)
     pos_cov = jnp.asarray(np.diag([1.0, 0.01, 0.01]), jnp.float32)
+    ident = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
     w = np.asarray(
-        sampler_with_normal_weights(normals, valid, pos_cov, 2.0, 5.0, 5.0)
+        sampler_with_normal_weights(normals, valid, pos_cov, ident,
+                                    2.0, 5.0, 5.0)
     )
     assert w[0] > w[1] and w[0] > w[2]
     assert abs(w[0] - 5.0) < 0.2   # fully ramped at ratio 10 >> 5
@@ -72,9 +74,10 @@ def test_with_normal_weights_prefer_aligned():
 def test_with_normal_weights_isotropic_no_amplification():
     normals = jnp.asarray(np.eye(3, dtype=np.float32))
     pos_cov = jnp.asarray(np.eye(3) * 0.1, jnp.float32)
+    ident = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
     w = np.asarray(
         sampler_with_normal_weights(normals, jnp.ones(3, bool), pos_cov,
-                                    2.0, 5.0, 5.0)
+                                    ident, 2.0, 5.0, 5.0)
     )
     assert np.allclose(w, 1.0, atol=0.05)
 
