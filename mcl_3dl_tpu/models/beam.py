@@ -99,10 +99,11 @@ def raycast_df(
         jnp.zeros(shape + (3,), jnp.float32),
         jnp.zeros(shape, jnp.float32),
     )
-    # unroll to amortize while-loop per-iteration overhead (measured
-    # significant at 1M rays on TPU)
+    # NOTE: unrolling this loop (unroll=4) cuts per-iteration overhead
+    # but blows remote-compile time from ~1 min to >18 min on this
+    # environment's compile service — kept rolled for reliability.
     any_hit, _, collision_pos, d0_hit = jax.lax.fori_loop(
-        0, num_steps, body, init, unroll=4
+        0, num_steps, body, init
     )
 
     # Incidence estimate from the probe two steps back
@@ -171,8 +172,7 @@ def raycast_occ(
         return found | blocked, cpos
 
     init = (jnp.zeros(shape, bool), jnp.zeros(shape + (3,), jnp.float32))
-    any_hit, collision_pos = jax.lax.fori_loop(0, num_steps, body, init,
-                                               unroll=4)
+    any_hit, collision_pos = jax.lax.fori_loop(0, num_steps, body, init)
     sin_ang = jnp.where(any_hit, 1.0, 0.0)
     return any_hit, collision_pos, sin_ang
 
