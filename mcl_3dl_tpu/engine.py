@@ -246,8 +246,9 @@ class MCL3DL:
             jnp.asarray(cov66, jnp.float32),
         )
         self.pstate = reset_error_integrals(self.pstate)
-        self.state_prev_pos = jnp.asarray(pos, jnp.float32)
-        self.state_prev_rot = jnp.asarray(rot, jnp.float32)
+        # state_prev_ is intentionally left alone: the next measurement
+        # detects the re-seed as a pose jump and resets the TF smoothers
+        # (src/mcl_3dl.cpp:155-198 never touches state_prev_).
         self._maybe_shrink_capacity()
 
     # ------------------------------------------------------------ odom / imu

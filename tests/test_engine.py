@@ -270,3 +270,41 @@ def test_measurement_with_normal_sampler():
     assert res is not None
     err = np.linalg.norm(np.asarray(res.raw_pos) - TRUE_POS)
     assert err < 0.35, res.raw_pos
+
+
+def test_tf_pose_consistency():
+    # compare_tf.cpp:84-85 gate: published pose == map->odom TF composed
+    # with the odometry pose, within 0.05 m
+    from mcl_3dl_tpu.math import quat_np as mqn
+
+    eng, room = make_engine()
+    odom_pos = np.array([0.2, -0.1, 0.0], np.float32)
+    odom_rot = np.array([0, 0, 0, 1.0], np.float32)
+    eng.odometry(odom_pos, odom_rot, 0.0)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    res = run_scans(eng, room, TRUE_POS, rot, n=3)
+    recon = mqn.rotate(np.asarray(res.map_to_odom_rot), odom_pos) \
+        + np.asarray(res.map_to_odom_pos)
+    assert np.linalg.norm(recon - np.asarray(res.pos)) < 0.05
+
+
+def test_pose_jump_detection():
+    # src/mcl_3dl.cpp:635-661: re-seeding far away triggers the jump
+    # branch on the next measurement and resets the error integrals
+    eng, room = make_engine()
+    rot = np.array([0, 0, 0, 1], np.float32)
+    run_scans(eng, room, TRUE_POS, rot, n=2)
+    cov = np.diag([0.01] * 3 + [0.001] * 3)
+    eng.initial_pose([4.0, 4.0, 0.5], [0, 0, 0, 1.0], cov)
+    # poison the error integrals to observe the reset
+    eng.pstate = eng.pstate._replace(
+        odom_err_lin=jnp.ones_like(eng.pstate.odom_err_lin))
+    scan = simulate_scan(room, np.array([4.0, 4.0, 0.5], np.float32), rot,
+                         n_rays=192, seed=9)
+    res = eng.measure_direct(scan, np.zeros((1, 3), np.float32),
+                             np.zeros(len(scan), np.int32), 1.0)
+    assert res.jumped
+    # integrals were reset from 1.0; only post-reset resample jitter
+    # remains (the reset happens before resampling, which maps its noise
+    # into indices 7-9 per state_6dof.h:238)
+    assert np.abs(np.asarray(eng.pstate.odom_err_lin)).max() < 0.3
