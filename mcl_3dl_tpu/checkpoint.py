@@ -14,9 +14,6 @@ import json
 import jax
 import numpy as np
 
-from mcl_3dl_tpu.math.filters import FilterState
-from mcl_3dl_tpu.state import ParticleState
-
 _FORMAT_VERSION = 1
 
 

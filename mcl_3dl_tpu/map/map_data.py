@@ -9,7 +9,7 @@ the compiled products live in HBM.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcl_3dl_tpu.parallel import fleet_filter_step, make_mesh, shard_state
+from mcl_3dl_tpu.parallel import fleet_filter_step, make_mesh
 from mcl_3dl_tpu import state as st
 
 

@@ -1,13 +1,12 @@
 """PCD I/O, checkpoint/resume, replay-driver tests."""
 
 import numpy as np
-import pytest
 
 from mcl_3dl_tpu.checkpoint import load_checkpoint, save_checkpoint
 from mcl_3dl_tpu.config import Params
 from mcl_3dl_tpu.engine import MCL3DL
 from mcl_3dl_tpu.io.pcd import read_pcd, write_pcd
-from mcl_3dl_tpu.io.replay import CLOUD, IMU, ODOM, ReplayDriver, ReplayLog
+from mcl_3dl_tpu.io.replay import CLOUD, ODOM, ReplayDriver, ReplayLog
 
 from worlds import make_room, simulate_scan
 

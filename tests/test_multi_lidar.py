@@ -8,7 +8,6 @@ import jax.numpy as jnp
 
 from mcl_3dl_tpu.config import Params
 from mcl_3dl_tpu.engine import MCL3DL
-from mcl_3dl_tpu.math import quat_np as mqn
 from mcl_3dl_tpu.models.beam import BeamStatus, beam_measure
 from mcl_3dl_tpu.math import quat as mq
 

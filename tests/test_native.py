@@ -15,8 +15,6 @@ def test_native_distance_field_matches_numpy():
 
     # numpy path: force fallback by calling through the module with the
     # native loader monkeypatched off
-    import mcl_3dl_tpu.map.distance_field as dfm
-
     orig = native.build_distance_field_native
     try:
         native.build_distance_field_native = lambda *a, **k: None

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from mcl_3dl_tpu.math import quat as mq
 

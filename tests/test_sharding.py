@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcl_3dl_tpu.parallel import make_mesh, shard_state, sharded_filter_step
+from mcl_3dl_tpu.parallel import make_mesh, shard_state
 from mcl_3dl_tpu import pf, state as st
 
 

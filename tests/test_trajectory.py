@@ -5,7 +5,6 @@ engine must track the true pose within the reference's 0.3 m budget and
 stay 3-sigma consistent (compare_pose.cpp:89-98)."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from mcl_3dl_tpu.config import Params
 from mcl_3dl_tpu.engine import MCL3DL
