@@ -132,3 +132,42 @@ def test_replay_driver_and_regression_gate(tmp_path):
     max_err, violations = driver.compare_to_reference(tolerance=0.5)
     dist_violations = [v for v in violations if v[1] == "dist"]
     assert not dist_violations, violations
+
+
+def test_output_pcd_accumulation(tmp_path):
+    # output_pcd mode: accumulated matched scans dumped at shutdown
+    # (src/mcl_3dl.cpp:753-758, 1340-1348)
+    room = make_room(grid=0.2)
+    eng = MCL3DL(Params(num_particles=32, use_beam_model=False,
+                        output_pcd=True, init_z=0.3,
+                        init_var_x=0.1, init_var_y=0.1, init_var_z=0.05))
+    eng.load_map(room)
+    for i in range(3):
+        scan = simulate_scan(room, np.array([0.0, 0.0, 0.3]),
+                             np.array([0, 0, 0, 1.0]), n_rays=64, seed=i)
+        eng.measure_direct(scan, np.zeros((1, 3), np.float32),
+                           np.zeros(len(scan), np.int32), 0.1 * (i + 1))
+    path = tmp_path / "dump.pcd"
+    n = eng.save_accumulated_pcd(path)
+    assert n > 0
+    pts, _ = read_pcd(path)
+    assert len(pts) == n
+
+
+def test_update_map_during_operation():
+    # mapcloud_update merge (src/mcl_3dl.cpp:141-153, 1350-1369): after
+    # merging, scans hitting the new structure match
+    room = make_room(grid=0.2)
+    eng = MCL3DL(Params(num_particles=32, use_beam_model=False, init_z=0.3))
+    eng.load_map(room)
+    import jax.numpy as jnp
+    # probe an update-voxel centroid: z in [0.9,1.2) -> centroid 1.0
+    probe = jnp.asarray([2.0, 2.0, 1.0], jnp.float32)
+    d_before = float(eng.map.df.sample_trilinear(probe))
+    # add a post in the middle of the room
+    zz = np.arange(0.0, 2.0, 0.1)
+    post = np.stack([np.full_like(zz, 2.0), np.full_like(zz, 2.0), zz], 1)
+    eng.update_map(post)
+    d_after = float(eng.map.df.sample_trilinear(probe))
+    assert d_after < d_before
+    assert d_after < 0.1
