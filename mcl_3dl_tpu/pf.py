@@ -65,27 +65,54 @@ def bias(state: ParticleState, bias_values: jnp.ndarray) -> ParticleState:
     return state._replace(prob_bias=bias_values)
 
 
-def _systematic_select(prob, mask, n_active, capacity, offsets):
+def _systematic_select(prob, mask, n_active, capacity, p0, pstep):
     """Shared CDF selection for resample/resize.
 
-    ``offsets``: [C] target cumulative-probability positions (already
-    scaled to the total weight).  Returns selected source indices [C],
-    clamped into the active range (the reference's it==end guard,
-    pf.h:209-213, can only trigger via float roundoff at the tail and
-    clamps to the previous valid particle = the last active one).
+    Selects, for each comb offset ``p0 + pstep * k`` (k = 0..C-1), the
+    first particle whose cumulative weight reaches it — i.e.
+    ``searchsorted(accum, offsets, side="left")``.  A binary search is
+    ~7x slower than the closed form on TPU (1M-row searchsorted measured
+    191 ms vs ~25 ms for scatter+cumsum on v5e), so we invert it: the
+    number of comb offsets at or below ``accum[j]`` is
+    ``m_j = floor((accum[j] - p0) / pstep) + 1``, and
+    ``idx[k] = #{j : m_j <= k}`` — a histogram of the (already sorted)
+    ``m_j`` followed by an inclusive cumsum.
+
+    Results are clamped into the active range (the reference's it==end
+    guard, pf.h:209-213, can only trigger via float roundoff at the tail
+    and clamps to the previous valid particle = the last active one).
     """
     accum = jnp.cumsum(prob * mask)
-    idx = jnp.searchsorted(accum, offsets, side="left")
+    m = jnp.floor((accum - p0) / pstep).astype(jnp.int32) + 1
+    m = jnp.maximum(m, 0)
+    hist = jnp.zeros((capacity,), jnp.int32).at[m].add(
+        1, mode="drop", indices_are_sorted=True
+    )
+    idx = jnp.cumsum(hist)
     return jnp.minimum(idx, jnp.maximum(n_active - 1, 0)).astype(jnp.int32)
 
 
 def _gather_states(state: ParticleState, idx) -> ParticleState:
+    """Reorder particle columns by ``idx``.
+
+    TPU gathers cost ~the same per *operation* whether they fetch one
+    element or a whole row (measured: 1M row(128) gathers ~= 28 ms, 16M
+    scalar gathers ~= 390 ms on v5e), so the 13 state columns are packed
+    into one [N, 17] matrix and reordered with a single row gather
+    instead of five separate ones.
+    """
+    packed = jnp.concatenate(
+        [state.pos, state.rot, state.odom_err_lin, state.odom_err_ang,
+         state.noise],
+        axis=1,
+    )
+    g = packed[idx]
     return state._replace(
-        pos=state.pos[idx],
-        rot=state.rot[idx],
-        odom_err_lin=state.odom_err_lin[idx],
-        odom_err_ang=state.odom_err_ang[idx],
-        noise=state.noise[idx],
+        pos=g[:, 0:3],
+        rot=g[:, 3:7],
+        odom_err_lin=g[:, 7:10],
+        odom_err_ang=g[:, 10:13],
+        noise=g[:, 13:17],
     )
 
 
@@ -108,10 +135,10 @@ def resample(state: ParticleState, key: jax.Array, sigma6) -> ParticleState:
 
     key_u, key_n = jax.random.split(key)
     initial_p = jax.random.uniform(key_u, (), jnp.float32, 0.0, 1.0) * pstep
-    i = jnp.arange(cap, dtype=jnp.float32)
-    offsets = pstep * i + initial_p
 
-    idx = _systematic_select(state.prob, mask, state.n_active, cap, offsets)
+    idx = _systematic_select(
+        state.prob, mask, state.n_active, cap, initial_p, pstep
+    )
     prev_idx = jnp.concatenate([jnp.zeros((1,), jnp.int32), idx[:-1]])
     dup = (idx == prev_idx) & mask
 
@@ -197,10 +224,10 @@ def resize(state: ParticleState, new_n) -> ParticleState:
     nf = new_n.astype(jnp.float32)
     total = jnp.sum(state.prob * mask)
     pstep = total / nf
-    i = jnp.arange(cap, dtype=jnp.float32)
-    offsets = pstep * (i + 1.0)
 
-    idx = _systematic_select(state.prob, mask, state.n_active, cap, offsets)
+    idx = _systematic_select(
+        state.prob, mask, state.n_active, cap, pstep, pstep
+    )
     out = _gather_states(state, idx)
     new_mask = jnp.arange(cap, dtype=jnp.int32) < new_n
     return out._replace(
