@@ -88,6 +88,10 @@ class MCL3DL:
         p = self.params
         self._base_capacity = _bucket(p.num_particles)
         self._key = jax.random.PRNGKey(p.seed)
+        # Local-table Pallas scoring for nearest-cell sampling (see
+        # models/likelihood.py).  Sharding/fleet wrappers flip this off
+        # before tracing: pallas_call does not GSPMD-partition.
+        self._local_kernel_ok = True
 
         # pf_->init with the initial pose (src/mcl_3dl.cpp:1272-1276)
         mean_pos, mean_rpy = p.initial_pose_mean
@@ -593,7 +597,7 @@ class MCL3DL:
             lik_l, qual_l = likelihood_measure(
                 df, state.pos, state.rot, like_pts, like_valid,
                 lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-                trilinear=False,
+                trilinear=False, local_kernel=self._local_kernel_ok,
             )
         else:
             lik_l, qual_l = jax.lax.cond(
@@ -601,7 +605,7 @@ class MCL3DL:
                 lambda: likelihood_measure(
                     df, state.pos, state.rot, like_pts, like_valid,
                     lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-                    trilinear=False,
+                    trilinear=False, local_kernel=self._local_kernel_ok,
                 ),
                 lambda: likelihood_measure(
                     df, state.pos, state.rot, like_pts, like_valid,

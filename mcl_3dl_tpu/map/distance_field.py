@@ -46,6 +46,7 @@ class DistanceField:
     cell: float
     trunc: float
     weights: tuple              # (wx, wy, wz) anisotropic axis weights
+    packed: jnp.ndarray | None = None   # [nx*ny*nz, 2] uint32 corner pack
 
     @property
     def shape(self):
@@ -55,7 +56,18 @@ class DistanceField:
         return q * jnp.asarray(self.weights, jnp.float32)
 
     def sample_trilinear(self, q):
-        """Trilinearly interpolated distance at query points ``q`` [..., 3]."""
+        """Trilinearly interpolated distance at query points ``q`` [..., 3].
+
+        With ``packed`` present, all 8 corner cells of the interpolation
+        cube come from ONE row gather of two uint32 words (XLA's TPU
+        gather is op-bound at ~10^8 ops/s regardless of fetch width, so
+        this is ~8x cheaper than the naive per-corner loop).
+        """
+        if self.packed is not None:
+            return _sample_packed(
+                self.packed, self.field.shape, self.origin, self.cell,
+                self.trunc, self._scaled(q)
+            )
         return _sample(
             self.field, self.origin, self.cell, self.trunc, self._scaled(q), True
         )
@@ -69,11 +81,60 @@ class DistanceField:
 
 jax.tree_util.register_pytree_node(
     DistanceField,
-    lambda d: ((d.field, d.origin), (d.cell, d.trunc, d.weights)),
+    lambda d: ((d.field, d.origin, d.packed), (d.cell, d.trunc, d.weights)),
     lambda aux, ch: DistanceField(
-        field=ch[0], origin=ch[1], cell=aux[0], trunc=aux[1], weights=aux[2]
+        field=ch[0], origin=ch[1], packed=ch[2],
+        cell=aux[0], trunc=aux[1], weights=aux[2],
     ),
 )
+
+
+def _pack_corners(q: np.ndarray) -> np.ndarray:
+    """Pack, for every cell, the 8 cells of its +1 corner cube into two
+    uint32 words (overlapping 2x2x2 windows): word0 = dx=0 corners, word1
+    = dx=1, byte index = dz + 2*dy.  Out-of-range high edges pad with 255
+    (= trunc); per-corner OOB is re-masked at sample time anyway."""
+    nx, ny, nz = q.shape
+    qp = np.pad(q, ((0, 1), (0, 1), (0, 1)), constant_values=255)
+    words = []
+    for dx in (0, 1):
+        w = np.zeros((nx, ny, nz), np.uint32)
+        for dy in (0, 1):
+            for dz in (0, 1):
+                c = qp[dx:dx + nx, dy:dy + ny, dz:dz + nz].astype(np.uint32)
+                w |= c << np.uint32(8 * (dz + 2 * dy))
+        words.append(w.reshape(-1))
+    return np.stack(words, axis=-1)          # [nx*ny*nz, 2]
+
+
+def _sample_packed(packed, shape, origin, cell, trunc, q):
+    """Trilinear sampling from the corner-packed table: one row gather
+    per query, then byte unpack + weight combine on the VPU."""
+    nx, ny, nz = shape
+    dims = jnp.asarray([nx, ny, nz], jnp.int32)
+    scale = jnp.float32(trunc / 255.0)
+    u = (q - origin) / jnp.float32(cell)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0.astype(jnp.float32)
+    ic = jnp.clip(i0, 0, dims - 2)
+    flat = (ic[..., 0] * ny + ic[..., 1]) * nz + ic[..., 2]
+    rows = jnp.take(packed, flat, axis=0)     # [..., 2] uint32
+
+    wx = (1.0 - f[..., 0], f[..., 0])
+    wy = (1.0 - f[..., 1], f[..., 1])
+    wz = (1.0 - f[..., 2], f[..., 2])
+    out = jnp.zeros(q.shape[:-1], jnp.float32)
+    for dx in (0, 1):
+        word = rows[..., dx]
+        for dy in (0, 1):
+            for dz in (0, 1):
+                v = ((word >> jnp.uint32(8 * (dz + 2 * dy)))
+                     & jnp.uint32(0xFF)).astype(jnp.float32) * scale
+                idx = i0 + jnp.asarray([dx, dy, dz], jnp.int32)
+                oob = jnp.any((idx < 0) | (idx >= dims), axis=-1)
+                v = jnp.where(oob, jnp.float32(trunc), v)
+                out = out + wx[dx] * wy[dy] * wz[dz] * v
+    return out
 
 
 def _sample(field, origin, cell, trunc, q, trilinear: bool):
@@ -126,18 +187,38 @@ def _segment_min_scatter(field_flat, target_ids, values):
     # field_flat[ids] = np.minimum(field_flat[ids], mins)
 
 
+def _finish(q3d, origin, cell, trunc, weights, pack_corners):
+    nx, ny, nz = q3d.shape
+    pack = (
+        pack_corners
+        and min(nx, ny, nz) >= 2
+        # packed table is 8 bytes/cell; skip when it would dwarf HBM
+        and nx * ny * nz <= 192_000_000
+    )
+    return DistanceField(
+        field=jnp.asarray(q3d),
+        origin=jnp.asarray(origin, jnp.float32),
+        cell=float(cell),
+        trunc=float(trunc),
+        weights=weights,
+        packed=jnp.asarray(_pack_corners(q3d)) if pack else None,
+    )
+
+
 def build_distance_field(
     points: np.ndarray,
     cell: float,
     trunc: float,
     weights=(1.0, 1.0, 1.0),
     padding: float | None = None,
+    pack_corners: bool = True,
 ) -> DistanceField:
     """Build the truncated distance field from map points [M, 3].
 
     Exact (not chamfer-propagated) within the truncation radius: every
     cell whose weighted distance to some point is <= trunc receives the
-    true minimum.
+    true minimum.  ``pack_corners`` additionally stores the 2x2x2 corner
+    pack for single-gather trilinear sampling (8 bytes/cell extra).
     """
     weights = tuple(float(w) for w in weights)
     w = np.asarray(weights, dtype=np.float64)
@@ -148,13 +229,9 @@ def build_distance_field(
         padding = trunc
     pad = padding + cell
     if points.shape[0] == 0:
-        field = np.full((1, 1, 1), 255, np.uint8)
-        return DistanceField(
-            field=jnp.asarray(field),
-            origin=jnp.zeros((3,), jnp.float32),
-            cell=float(cell),
-            trunc=float(trunc),
-            weights=weights,
+        return _finish(
+            np.full((1, 1, 1), 255, np.uint8), np.zeros(3), cell, trunc,
+            weights, False,
         )
 
     min_p = points.min(axis=0) - pad
@@ -168,13 +245,7 @@ def build_distance_field(
     native = build_distance_field_native(points, cell, trunc, origin, dims)
     if native is not None:
         q = np.clip(np.round(native / trunc * 255.0), 0, 255).astype(np.uint8)
-        return DistanceField(
-            field=jnp.asarray(q),
-            origin=jnp.asarray(origin, jnp.float32),
-            cell=float(cell),
-            trunc=float(trunc),
-            weights=weights,
-        )
+        return _finish(q, origin, cell, trunc, weights, pack_corners)
 
     field_flat = np.full(nx * ny * nz, np.float32(trunc), dtype=np.float32)
 
@@ -219,10 +290,5 @@ def build_distance_field(
     q = np.clip(
         np.round(field_flat / trunc * 255.0), 0, 255
     ).astype(np.uint8)
-    return DistanceField(
-        field=jnp.asarray(q.reshape(nx, ny, nz)),
-        origin=jnp.asarray(origin, jnp.float32),
-        cell=float(cell),
-        trunc=float(trunc),
-        weights=weights,
-    )
+    return _finish(q.reshape(nx, ny, nz), origin, cell, trunc, weights,
+                   pack_corners)

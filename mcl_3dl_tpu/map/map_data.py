@@ -75,7 +75,8 @@ class MapData:
             df_beam = df
         else:
             df_beam = build_distance_field(
-                points[visible], cell, trunc, params.dist_weight
+                points[visible], cell, trunc, params.dist_weight,
+                pack_corners=False,   # raycasts sample nearest-cell only
             )
 
         occ = build_occupancy_grid(points, params.beam.dda_grid_size, labels)

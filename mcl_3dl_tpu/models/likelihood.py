@@ -5,22 +5,43 @@ Re-designs ``LidarMeasurementModelLikelihood``
 transforms the sampled scan by each particle's pose and runs one kd-tree
 ``radiusSearch(match_dist_min)`` per point per particle; here the
 transform is a single ``[N,3,3] x [K,3]`` batched matmul (MXU) and the
-nearest-distance query is a trilinear gather from the precomputed
-distance field (HBM), fused with the clamp+sum score reduction.
+nearest-distance query is a gather from the precomputed distance field
+(HBM), fused with the clamp+sum score reduction.
 
 Score per particle (lidar_measurement_model_likelihood.cpp:124-135):
 
     for each matched point (weighted nearest dist d <= match_dist_min):
         score += match_weight * (match_dist_min - max(d, match_dist_flat))
     quality = matched / num_points
+
+Two device paths for nearest-cell sampling:
+
+* XLA gather (robust, any particle spread) — ~117M lookups/s on v5e.
+* **Local-table Pallas kernel** (``local_kernel=True``): for each scan
+  point, all particle-transformed copies land in a small cell box once
+  the filter has converged; a per-point local table is extracted with
+  cheap XLA gathers and ``ops.local_score`` evaluates the full
+  ``[points, particles]`` grid at VPU gather rate (~2.5G lookups/s,
+  tools/exp_gather.py).  A ``lax.cond`` falls back to the XLA path
+  whenever the spread exceeds the box (startup, global localization,
+  expansion resets).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mcl_3dl_tpu.map.distance_field import DistanceField
 from mcl_3dl_tpu.math import quat as mq
+from mcl_3dl_tpu.ops.local_gather import local_score
+
+# Local box, in (weighted-space) distance-field cells.  32x32x16 at the
+# default 0.1 m grid = 3.2 x 3.2 x 1.6 m of per-point particle spread —
+# comfortably above converged-tracking spread (including the lever-arm
+# smear of far points under residual yaw uncertainty), far below
+# global-localization spread.
+_BOX = (32, 32, 16)
 
 
 def clip_mask(points, clip_near, clip_far, clip_z_min, clip_z_max):
@@ -30,6 +51,17 @@ def clip_mask(points, clip_near, clip_far, clip_z_min, clip_z_max):
     keep = (r2 <= clip_far**2) & (r2 >= clip_near**2)
     keep &= (points[..., 2] >= clip_z_min) & (points[..., 2] <= clip_z_max)
     return keep
+
+
+def _finalize(score, mcount, valid):
+    """Empty-cloud guard (lidar_measurement_model_likelihood.cpp:111-114):
+    an all-invalid cloud returns (1, 0) per particle."""
+    num = jnp.sum(valid)
+    has_points = num > 0
+    quality = mcount / jnp.maximum(num, 1)
+    likelihood = jnp.where(has_points, score, 1.0)
+    quality = jnp.where(has_points, quality, 0.0)
+    return likelihood, quality
 
 
 def likelihood_measure(
@@ -42,36 +74,101 @@ def likelihood_measure(
     match_dist_flat: float,
     match_weight: float,
     trilinear: bool = True,
+    local_kernel: bool = False,
 ):
     """Returns ``(likelihood[N], quality[N])``.
-
-    An all-invalid cloud returns (1, 0) per particle, matching the empty
-    guard at lidar_measurement_model_likelihood.cpp:111-114.
 
     ``trilinear=False`` uses nearest-cell sampling (1 gather per query
     instead of 8) — the engine switches to it during global localization
     where particle counts are ~100k-1M and half-cell quantization is far
     below the pose uncertainty.
     """
-    rmat = mq.rotation_matrix(mq.normalize(rot))          # [N, 3, 3]
-    # [N, K, 3] = points @ R^T + pos
-    transformed = (
-        jnp.einsum("kj,nij->nki", points, rmat,
-                   preferred_element_type=jnp.float32)
-        + pos[:, None, :]
+    N = pos.shape[0]
+    use_local = (
+        local_kernel
+        and not trilinear
+        and N % 128 == 0
+        and N >= 128
+        and float(df.trunc) > float(match_dist_min)
     )
-    if trilinear:
-        d = df.sample_trilinear(transformed)               # [N, K]
-    else:
-        d = df.sample_nearest(transformed)
-    matched = (d <= match_dist_min) & valid[None, :]
-    contrib = match_weight * (match_dist_min - jnp.maximum(d, match_dist_flat))
-    contrib = jnp.maximum(contrib, 0.0)                    # "if dist < 0 continue"
-    score = jnp.sum(jnp.where(matched, contrib, 0.0), axis=-1)
+    rmat = mq.rotation_matrix(mq.normalize(rot))          # [N, 3, 3]
 
-    num = jnp.sum(valid)
-    has_points = num > 0
-    quality = jnp.sum(matched, axis=-1) / jnp.maximum(num, 1)
-    likelihood = jnp.where(has_points, score, 1.0)
-    quality = jnp.where(has_points, quality, 0.0)
-    return likelihood, quality
+    if not use_local:
+        # [N, K, 3] = points @ R^T + pos
+        transformed = (
+            jnp.einsum("kj,nij->nki", points, rmat,
+                       preferred_element_type=jnp.float32)
+            + pos[:, None, :]
+        )
+        if trilinear:
+            d = df.sample_trilinear(transformed)           # [N, K]
+        else:
+            d = df.sample_nearest(transformed)
+        matched = (d <= match_dist_min) & valid[None, :]
+        contrib = match_weight * (
+            match_dist_min - jnp.maximum(d, match_dist_flat))
+        contrib = jnp.maximum(contrib, 0.0)                # "if dist<0 continue"
+        score = jnp.sum(jnp.where(matched, contrib, 0.0), axis=-1)
+        return _finalize(score, jnp.sum(matched, axis=-1), valid)
+
+    # ---- local-table kernel path ([K, N] layout; no [N,K] transpose) ----
+    K = points.shape[0]
+    BX, BY, BZ = _BOX
+    R = BX * BY * BZ // 128
+    nx, ny, nz = df.field.shape
+    dims = jnp.asarray([nx, ny, nz], jnp.int32)
+    w = jnp.asarray(df.weights, jnp.float32)
+    trunc = float(df.trunc)
+
+    transformed = (
+        jnp.einsum("kj,nij->kni", points, rmat,
+                   preferred_element_type=jnp.float32)
+        + pos[None, :, :]
+    )                                                      # [K, N, 3]
+    u = (transformed * w - df.origin) / jnp.float32(df.cell)
+    iq = jnp.round(u).astype(jnp.int32)                    # [K, N, 3]
+    lo = jnp.min(iq, axis=1)                               # [K, 3]
+    ext = jnp.max(iq, axis=1) - lo
+    boxa = jnp.asarray(_BOX, jnp.int32)
+    fits = jnp.all((ext < boxa) | ~valid[:, None])
+
+    def fast(_):
+        offs = jnp.stack(
+            jnp.meshgrid(jnp.arange(BX), jnp.arange(BY), jnp.arange(BZ),
+                         indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 3).astype(jnp.int32)                 # [BX*BY*BZ, 3]
+        g = lo[:, None, :] + offs[None]                    # [K, BOXC, 3]
+        oob = jnp.any((g < 0) | (g >= dims), axis=-1)
+        gc = jnp.clip(g, 0, dims - 1)
+        flat = (gc[..., 0] * ny + gc[..., 1]) * nz + gc[..., 2]
+        scale = jnp.float32(trunc / 255.0)
+        vals = jnp.take(df.field.reshape(-1), flat,
+                        axis=0).astype(jnp.float32) * scale
+        vals = jnp.where(oob, trunc, vals)
+        # fold point validity: all-trunc table => unmatched, 0 contribution
+        vals = jnp.where(valid[:, None], vals, trunc)
+        tables = vals.reshape(K, R, 128)
+
+        dl = iq - lo[:, None, :]
+        lidx = (dl[..., 0] * BY + dl[..., 1]) * BZ + dl[..., 2]
+        lidx = jnp.clip(lidx, 0, R * 128 - 1)
+        return local_score(
+            tables, lidx,
+            match_dist_min=float(match_dist_min),
+            match_dist_flat=float(match_dist_flat),
+            match_weight=float(match_weight),
+            trunc=trunc,
+        )
+
+    def slow(_):
+        dq = df.sample_nearest(transformed)                # [K, N]
+        matched = (dq <= match_dist_min) & valid[:, None]
+        contrib = match_weight * (
+            match_dist_min - jnp.maximum(dq, match_dist_flat))
+        contrib = jnp.maximum(contrib, 0.0)
+        score = jnp.sum(jnp.where(matched, contrib, 0.0), axis=0)
+        return score, jnp.sum(matched, axis=0).astype(jnp.float32)
+
+    score, mcount = jax.lax.cond(fits, fast, slow, None)
+    return _finalize(score, mcount, valid)

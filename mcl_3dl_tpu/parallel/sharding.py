@@ -62,6 +62,9 @@ def sharded_filter_step(engine, mesh: Mesh):
     ``MCL3DL._measurement_step``; inputs other than the particle state
     are replicated.
     """
+    # The local-table Pallas scoring path cannot be GSPMD-partitioned;
+    # the sharded graph uses the pure-XLA likelihood (read at trace time).
+    engine._local_kernel_ok = False
     spec = _state_spec(False)
     state_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), spec,
@@ -100,6 +103,7 @@ def fleet_filter_step(engine, mesh: Mesh):
     origins[R,L,3], odom_pos[R,3], odom_rot[R,4], prev_pos[R,3],
     prev_rot[R,4], f_pos_b, f_ang_b, is_global_fix[R])``.
     """
+    engine._local_kernel_ok = False   # see sharded_filter_step
     spec = _state_spec(True)
     state_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), spec,

@@ -58,6 +58,29 @@ def test_distance_field_matches_brute_force():
     assert (err <= tol).all(), err.max()
 
 
+def test_corner_packed_trilinear_matches_unpacked():
+    """The single-row-gather corner-packed path must reproduce the
+    8-gather trilinear loop bit-for-bit, including per-corner OOB
+    handling at and beyond the field boundary."""
+    rng = np.random.default_rng(7)
+    points = rng.uniform(-1.0, 1.0, (150, 3))
+    cell, trunc = 0.05, 0.4
+    weights = (1.0, 1.0, 0.4)
+    df_packed = build_distance_field(points, cell, trunc, weights)
+    df_plain = build_distance_field(points, cell, trunc, weights,
+                                    pack_corners=False)
+    assert df_packed.packed is not None and df_plain.packed is None
+    # interior, boundary-straddling, and far-outside queries
+    queries = np.concatenate([
+        rng.uniform(-1.2, 1.2, (400, 3)),
+        rng.uniform(-3.0, 3.0, (200, 3)),
+        np.array([[50.0, 0.0, 0.0], [-50.0, -50.0, -50.0]]),
+    ]).astype(np.float32)
+    got = np.asarray(df_packed.sample_trilinear(jnp.asarray(queries)))
+    want = np.asarray(df_plain.sample_trilinear(jnp.asarray(queries)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_distance_field_trilinear_accuracy():
     rng = np.random.default_rng(1)
     points = rng.uniform(-1.0, 1.0, (100, 3))

@@ -178,6 +178,47 @@ def test_likelihood_score_formula():
     assert abs(float(lik2[0]) - 5.0 * (0.2 - 0.05)) < 0.05
 
 
+def test_likelihood_local_kernel_matches_xla_path():
+    """The local-table Pallas path (converged particles, interpret mode
+    on CPU) must reproduce the plain nearest-cell XLA scoring."""
+    rng = np.random.default_rng(3)
+    wall = _wall_points()
+    df = build_distance_field(wall, 0.1, 0.6, weights=(1.0, 1.0, 0.5))
+    scan = _wall_points(x=2.0, half=1.0, grid=0.25)[:24]
+    K = len(scan)
+    N = 256   # multiple of 128 so the kernel path is eligible
+    pos = jnp.asarray(
+        np.array([0.1, -0.05, 0.0]) + rng.normal(0, 0.15, (N, 3)),
+        jnp.float32,
+    )
+    rpy = rng.normal(0, 0.05, (N, 3))
+    rot = jnp.asarray(
+        np.stack([np.asarray(mq.from_rpy(jnp.asarray(r))) for r in rpy]),
+        jnp.float32,
+    )
+    valid = jnp.asarray(rng.uniform(size=K) < 0.8)
+    args = (df, pos, rot, jnp.asarray(scan, jnp.float32), valid,
+            0.2, 0.05, 5.0)
+    lik_ref, qual_ref = likelihood_measure(*args, trilinear=False)
+    lik_loc, qual_loc = likelihood_measure(
+        *args, trilinear=False, local_kernel=True)
+    np.testing.assert_allclose(np.asarray(lik_loc), np.asarray(lik_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qual_loc), np.asarray(qual_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # spread particles far beyond the local box: the runtime cond must
+    # fall back to the XLA path and still agree
+    pos_wide = jnp.asarray(rng.uniform(-3.0, 3.0, (N, 3)), jnp.float32)
+    args_w = (df, pos_wide, rot, jnp.asarray(scan, jnp.float32), valid,
+              0.2, 0.05, 5.0)
+    lik_ref2, _ = likelihood_measure(*args_w, trilinear=False)
+    lik_loc2, _ = likelihood_measure(
+        *args_w, trilinear=False, local_kernel=True)
+    np.testing.assert_allclose(np.asarray(lik_loc2), np.asarray(lik_ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_likelihood_empty_cloud():
     df = build_distance_field(np.array([[0.0, 0.0, 0.0]]), 0.1, 0.6)
     lik, qual = likelihood_measure(
