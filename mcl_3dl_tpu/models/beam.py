@@ -80,8 +80,12 @@ def raycast_df(
     w_vec = jnp.asarray(df.weights, jnp.float32)
     wu = jnp.linalg.norm(direction * w_vec, axis=-1)   # [...]: metric rate
 
-    def body(s, carry):
-        found, t, cpos, d0_hit = carry
+    def cond(carry):
+        s, found, t, _, _ = carry
+        return (s < num_steps) & jnp.any(~found & (t < max_t))
+
+    def body(carry):
+        s, found, t, cpos, d0_hit = carry
         pos = begin + direction * t[..., None]
         d = df.sample_nearest(pos)
         active = (t < max_t) & ~found
@@ -91,19 +95,24 @@ def raycast_df(
         advance = jnp.maximum((d - radius) / jnp.maximum(wu, 1e-6),
                               map_grid_min)
         t = jnp.where(active & ~hit_now, t + advance, t)
-        return found | hit_now, t, cpos, d0_hit
+        return s + 1, found | hit_now, t, cpos, d0_hit
 
     init = (
+        jnp.int32(0),
         jnp.zeros(shape, bool),
         jnp.full(shape, map_grid_min, jnp.float32),
         jnp.zeros(shape + (3,), jnp.float32),
         jnp.zeros(shape, jnp.float32),
     )
-    # NOTE: unrolling this loop (unroll=4) cuts per-iteration overhead
-    # but blows remote-compile time from ~1 min to >18 min on this
-    # environment's compile service — kept rolled for reliability.
-    any_hit, _, collision_pos, d0_hit = jax.lax.fori_loop(
-        0, num_steps, body, init
+    # while_loop (not fori): every ray resolves (hit, or t >= max_t), so
+    # in steady-state tracking the march exits after a handful of
+    # sphere-trace steps instead of always paying the worst-case bound;
+    # num_steps stays as the hard cap.  NOTE: unrolling the body
+    # (unroll=4) cuts per-iteration overhead but blows remote-compile
+    # time from ~1 min to >18 min on this environment's compile service
+    # — kept rolled for reliability.
+    _, any_hit, _, collision_pos, d0_hit = jax.lax.while_loop(
+        cond, body, init
     )
 
     # Incidence estimate from the probe two steps back
@@ -152,9 +161,15 @@ def raycast_occ(
 
     shape = begin.shape[:-1]
 
-    # Sequential march, O(rays) carry (see raycast_df).
-    def body(s, carry):
-        found, cpos = carry
+    # Sequential march, O(rays) carry (see raycast_df).  while_loop so
+    # the march exits once every ray has hit or run past its max range.
+    def cond(carry):
+        s, found, _ = carry
+        t = jnp.float32(s + 1) * step
+        return (s < num_steps) & jnp.any(~found & (t < max_t))
+
+    def body(carry):
+        s, found, cpos = carry
         t = jnp.float32(s + 1) * step
         pos = begin + direction * t
         occ_hit, label, point_pos = occ.lookup(pos)
@@ -169,10 +184,11 @@ def raycast_occ(
             & ~found
         )
         cpos = jnp.where(blocked[..., None], point_pos, cpos)
-        return found | blocked, cpos
+        return s + 1, found | blocked, cpos
 
-    init = (jnp.zeros(shape, bool), jnp.zeros(shape + (3,), jnp.float32))
-    any_hit, collision_pos = jax.lax.fori_loop(0, num_steps, body, init)
+    init = (jnp.int32(0), jnp.zeros(shape, bool),
+            jnp.zeros(shape + (3,), jnp.float32))
+    _, any_hit, collision_pos = jax.lax.while_loop(cond, body, init)
     sin_ang = jnp.where(any_hit, 1.0, 0.0)
     return any_hit, collision_pos, sin_ang
 
