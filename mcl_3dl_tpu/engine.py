@@ -525,8 +525,18 @@ class MCL3DL:
         cloud, cloud_label, cloud_valid, normals, origins,
         odom_pos, odom_rot, prev_pos, prev_rot,
         f_pos, f_ang, is_global_fix, std_warn_thresh=None,
+        *, spmd_safe=False,
     ):
-        """The fused measurement update (src/mcl_3dl.cpp:363-893 on device)."""
+        """The fused measurement update (src/mcl_3dl.cpp:363-893 on device).
+
+        ``spmd_safe=True`` (static; set by the particle-sharded wrappers
+        in parallel/sharding.py) selects shard-count-invariant control
+        flow: fixed-trip raycast marches instead of early-exit
+        ``while_loop`` (whose cond would reduce over the sharded axis —
+        each shard then runs its own trip count and the program's
+        collectives deadlock) and the pure-XLA likelihood path (the
+        Pallas local-table kernel cannot be GSPMD-partitioned).
+        """
         p = self.params
         lp, bp = p.likelihood, p.beam
         k_like, k_beam, k_resample, k_noise, k_expand = jax.random.split(key, 5)
@@ -593,11 +603,12 @@ class MCL3DL:
         # nearest-cell sampling during global localization (huge particle
         # counts, pose uncertainty >> half a cell).
         in_global_mode = state.n_active > p.num_particles
+        local_ok = self._local_kernel_ok and not spmd_safe
         if lp.interp == "nearest":
             lik_l, qual_l = likelihood_measure(
                 df, state.pos, state.rot, like_pts, like_valid,
                 lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-                trilinear=False, local_kernel=self._local_kernel_ok,
+                trilinear=False, local_kernel=local_ok,
             )
         else:
             lik_l, qual_l = jax.lax.cond(
@@ -605,7 +616,7 @@ class MCL3DL:
                 lambda: likelihood_measure(
                     df, state.pos, state.rot, like_pts, like_valid,
                     lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-                    trilinear=False, local_kernel=self._local_kernel_ok,
+                    trilinear=False, local_kernel=local_ok,
                 ),
                 lambda: likelihood_measure(
                     df, state.pos, state.rot, like_pts, like_valid,
@@ -638,6 +649,7 @@ class MCL3DL:
                 filter_label_max=bp.filter_label_max,
                 add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
                 num_steps=num_steps,
+                early_exit=not spmd_safe,
             )
         else:
             lik_b = jnp.ones_like(lik_l)

@@ -46,6 +46,7 @@ def raycast_df(
     map_grid_max: float,
     hit_tolerance: float,
     num_steps: int,
+    early_exit: bool = True,
 ):
     """kd-tree-style raycast against the distance field.
 
@@ -58,6 +59,13 @@ def raycast_df(
     floor((|ray| + hit_tolerance) / grid_min) steps of grid_min; probes
     run at i = 1 .. length-1 (the endpoint cell itself is the expected
     hit, probing stops *before* it).
+
+    ``early_exit=False`` switches the march from ``while_loop`` to a
+    fixed-trip ``fori_loop``.  Required when the ray batch is sharded
+    over devices (GSPMD): a ``while_loop`` whose cond reduces over the
+    sharded axis gives each shard its own trip count, so downstream
+    collectives rendezvous with mismatched program counters and the run
+    aborts (observed: XLA CPU rendezvous timeout, MULTICHIP_r01).
     """
     radius = float(2.0**0.5) * map_grid_max / 2.0
     seg = end - begin
@@ -111,9 +119,14 @@ def raycast_df(
     # (unroll=4) cuts per-iteration overhead but blows remote-compile
     # time from ~1 min to >18 min on this environment's compile service
     # — kept rolled for reliability.
-    _, any_hit, _, collision_pos, d0_hit = jax.lax.while_loop(
-        cond, body, init
-    )
+    if early_exit:
+        _, any_hit, _, collision_pos, d0_hit = jax.lax.while_loop(
+            cond, body, init
+        )
+    else:
+        _, any_hit, _, collision_pos, d0_hit = jax.lax.fori_loop(
+            0, num_steps, lambda _, c: body(c), init
+        )
 
     # Incidence estimate from the probe two steps back
     # (raycast_using_kdtree.h:88-102).
@@ -136,6 +149,7 @@ def raycast_occ(
     hit_tolerance: float,
     filter_label_max: int,
     num_steps: int,
+    early_exit: bool = True,
 ):
     """DDA-style raycast against the occupancy grid.
 
@@ -188,7 +202,13 @@ def raycast_occ(
 
     init = (jnp.int32(0), jnp.zeros(shape, bool),
             jnp.zeros(shape + (3,), jnp.float32))
-    _, any_hit, collision_pos = jax.lax.while_loop(cond, body, init)
+    if early_exit:
+        _, any_hit, collision_pos = jax.lax.while_loop(cond, body, init)
+    else:
+        # fixed-trip march for SPMD safety (see raycast_df docstring)
+        _, any_hit, collision_pos = jax.lax.fori_loop(
+            0, num_steps, lambda _, c: body(c), init
+        )
     sin_ang = jnp.where(any_hit, 1.0, 0.0)
     return any_hit, collision_pos, sin_ang
 
@@ -213,6 +233,7 @@ def beam_measure(
     filter_label_max: int,
     add_penalty_short_only_mode: bool,
     num_steps: int,
+    early_exit: bool = True,
 ):
     """Returns ``(likelihood[N], quality[N], status[N, B])``.
 
@@ -234,11 +255,13 @@ def beam_measure(
 
     if use_dda:
         collision, cpos, sin_ang = raycast_occ(
-            occ, begins, ends, hit_range, filter_label_max, num_steps
+            occ, begins, ends, hit_range, filter_label_max, num_steps,
+            early_exit=early_exit,
         )
     else:
         collision, cpos, sin_ang = raycast_df(
-            df_beam, begins, ends, map_grid_min, map_grid_max, hit_range, num_steps
+            df_beam, begins, ends, map_grid_min, map_grid_max, hit_range,
+            num_steps, early_exit=early_exit,
         )
 
     dist_sq = jnp.sum((ends - cpos) ** 2, axis=-1)

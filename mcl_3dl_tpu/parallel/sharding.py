@@ -62,9 +62,6 @@ def sharded_filter_step(engine, mesh: Mesh):
     ``MCL3DL._measurement_step``; inputs other than the particle state
     are replicated.
     """
-    # The local-table Pallas scoring path cannot be GSPMD-partitioned;
-    # the sharded graph uses the pure-XLA likelihood (read at trace time).
-    engine._local_kernel_ok = False
     spec = _state_spec(False)
     state_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), spec,
@@ -78,10 +75,12 @@ def sharded_filter_step(engine, mesh: Mesh):
     def step(state, key, df, df_beam, occ, cloud, cloud_label, cloud_valid,
              normals, origins, odom_pos, odom_rot, prev_pos, prev_rot,
              f_pos, f_ang, is_global_fix):
+        # spmd_safe: fixed-trip raycasts + pure-XLA likelihood (see
+        # MCL3DL._measurement_step docstring)
         return engine._measurement_step(
             state, key, df, df_beam, occ, cloud, cloud_label, cloud_valid,
             normals, origins, odom_pos, odom_rot, prev_pos, prev_rot,
-            f_pos, f_ang, is_global_fix,
+            f_pos, f_ang, is_global_fix, spmd_safe=True,
         )
 
     return jax.jit(
@@ -103,7 +102,6 @@ def fleet_filter_step(engine, mesh: Mesh):
     origins[R,L,3], odom_pos[R,3], odom_rot[R,4], prev_pos[R,3],
     prev_rot[R,4], f_pos_b, f_ang_b, is_global_fix[R])``.
     """
-    engine._local_kernel_ok = False   # see sharded_filter_step
     spec = _state_spec(True)
     state_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), spec,
@@ -111,8 +109,10 @@ def fleet_filter_step(engine, mesh: Mesh):
     )
     robot = NamedSharding(mesh, P("robots"))
 
+    from functools import partial
+
     vstep = jax.vmap(
-        engine._measurement_step,
+        partial(engine._measurement_step, spmd_safe=True),
         in_axes=(0, 0, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
     )
     return jax.jit(
