@@ -230,6 +230,15 @@ class Params:
         return self.map_grid_max * 4.0
 
     @property
+    def min_dist_thr_sq(self) -> float:
+        """DDA perpendicular-test floor (raycast_using_dda.h:59).
+        The reference sums gx^2 + gy^2 + gy^2 — y twice, not z; quirk
+        preserved for bit-comparable classification."""
+        return (self.map_downsample_x ** 2
+                + self.map_downsample_y ** 2
+                + self.map_downsample_y ** 2)
+
+    @property
     def initial_pose_mean(self):
         return (self.init_x, self.init_y, self.init_z), (
             self.init_roll,

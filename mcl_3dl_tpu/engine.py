@@ -135,6 +135,11 @@ class MCL3DL:
         self.global_localization_fix_cnt = 0
         self.cnt_measure = 0
         self.match_output_last = -1e18
+        # pub_matched_/pub_unmatched_ stand-in: set a callback
+        # (t, matched_points[M,3], unmatched_points[U,3], both map frame)
+        # to receive the interval-throttled debug clouds
+        # (src/mcl_3dl.cpp:762-805); None = "no subscribers", skipped.
+        self.on_match_clouds = None
         self.status = Status()
         self.entropy = 0.0
 
@@ -145,7 +150,10 @@ class MCL3DL:
         self._last_scan_base: Optional[np.ndarray] = None
         self._pc_all_accum: list[np.ndarray] = []
 
-        self._step_cache: dict = {}
+        # one jit object for the fused step; jit's own cache re-traces
+        # per (capacity, cloud bucket, n_origins) shape combination.
+        # Recreated on map load/update to drop stale compilations.
+        self._step = jax.jit(self._measurement_step)
         self._predict_jit = jax.jit(
             partial(
                 predict_differential_drive,
@@ -211,7 +219,7 @@ class MCL3DL:
         self.has_map = True
         self._accum_clear()
         self.accum.reset()
-        self._step_cache.clear()
+        self._step = jax.jit(self._measurement_step)
         return self.map
 
     def update_map(self, points: np.ndarray, labels: Optional[np.ndarray] = None):
@@ -232,7 +240,7 @@ class MCL3DL:
             attrs=np.asarray(labels, np.float64)[:, None],
         )
         self.map = self.map.merged_with(pts, np.round(attrs[:, 0]).astype(np.uint32))
-        self._step_cache.clear()
+        self._step = jax.jit(self._measurement_step)
         return self.map
 
     # ------------------------------------------------------------- pose seeds
@@ -432,7 +440,7 @@ class MCL3DL:
         if len(origins_base):
             origins_arr[: len(origins_base)] = origins_base
 
-        step = self._get_step(self.pstate.capacity, bucket, n_origins)
+        step = self._step
         (self.pstate, self.f_pos, self.f_ang, self.state_prev_pos,
          self.state_prev_rot, aux) = step(
             self.pstate,
@@ -499,6 +507,23 @@ class MCL3DL:
             )
             self._pc_all_accum.append(moved)
 
+        # interval-throttled matched/unmatched clouds
+        # (src/mcl_3dl.cpp:762-805): emit at most every
+        # match_output_interval_interval seconds, plus the reference's
+        # backwards-time-jump re-arm (stamp + 1s < last)
+        if self.on_match_clouds is not None and (
+            t > self.match_output_last + p.match_output_interval_interval
+            or t + 1.0 < self.match_output_last
+        ):
+            self.match_output_last = t
+            matched_m, unmatched_m = self.classify_cloud(
+                pts_ds, aux["e_pos"], aux["e_rot"])
+            pts_map = mqn.rotate(
+                np.asarray(aux["e_rot"]), np.asarray(pts_ds, np.float64)
+            ) + np.asarray(aux["e_pos"])
+            self.on_match_clouds(
+                t, pts_map[matched_m], pts_map[unmatched_m])
+
         return MeasureResult(
             pos=aux["pub_pos"], rot=aux["pub_rot"], cov=aux["cov"],
             map_to_odom_pos=aux["map_to_odom_pos"],
@@ -514,11 +539,6 @@ class MCL3DL:
             elapsed=time.monotonic() - ts,
         )
 
-    def _get_step(self, capacity: int, cloud_bucket: int, n_origins: int):
-        key = (capacity, cloud_bucket, n_origins)
-        if key not in self._step_cache:
-            self._step_cache[key] = jax.jit(self._measurement_step)
-        return self._step_cache[key]
 
     def _measurement_step(
         self, state, key, df, df_beam, occ,
@@ -609,6 +629,7 @@ class MCL3DL:
                 df, state.pos, state.rot, like_pts, like_valid,
                 lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
                 trilinear=False, local_kernel=local_ok,
+                active=state.active_mask(),
             )
         else:
             lik_l, qual_l = jax.lax.cond(
@@ -617,6 +638,7 @@ class MCL3DL:
                     df, state.pos, state.rot, like_pts, like_valid,
                     lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
                     trilinear=False, local_kernel=local_ok,
+                    active=state.active_mask(),
                 ),
                 lambda: likelihood_measure(
                     df, state.pos, state.rot, like_pts, like_valid,
@@ -650,6 +672,8 @@ class MCL3DL:
                 add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
                 num_steps=num_steps,
                 early_exit=not spmd_safe,
+                ray_angle_half=bp.ray_angle_half,
+                min_dist_thr_sq=p.min_dist_thr_sq,
             )
         else:
             lik_b = jnp.ones_like(lik_l)
@@ -1010,6 +1034,8 @@ class MCL3DL:
             filter_label_max=bp.filter_label_max,
             add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
             num_steps=num_steps,
+            ray_angle_half=bp.ray_angle_half,
+            min_dist_thr_sq=p.min_dist_thr_sq,
         )
         return np.asarray(status[0])
 

@@ -47,6 +47,10 @@ class DistanceField:
     trunc: float
     weights: tuple              # (wx, wy, wz) anisotropic axis weights
     packed: jnp.ndarray | None = None   # [nx*ny*nz, 2] uint32 corner pack
+    # z-major 2D view [nx*ny, max(nz, 128)] u8, z padded with 255 (=trunc):
+    # row-slice gather source for the yaw-grouped local-table fast path
+    # (ops/grouped.py) — a table row is a contiguous 128-cell z window.
+    field2d: jnp.ndarray | None = None
 
     @property
     def shape(self):
@@ -81,9 +85,10 @@ class DistanceField:
 
 jax.tree_util.register_pytree_node(
     DistanceField,
-    lambda d: ((d.field, d.origin, d.packed), (d.cell, d.trunc, d.weights)),
+    lambda d: ((d.field, d.origin, d.packed, d.field2d),
+               (d.cell, d.trunc, d.weights)),
     lambda aux, ch: DistanceField(
-        field=ch[0], origin=ch[1], packed=ch[2],
+        field=ch[0], origin=ch[1], packed=ch[2], field2d=ch[3],
         cell=aux[0], trunc=aux[1], weights=aux[2],
     ),
 )
@@ -195,6 +200,11 @@ def _finish(q3d, origin, cell, trunc, weights, pack_corners):
         # packed table is 8 bytes/cell; skip when it would dwarf HBM
         and nx * ny * nz <= 192_000_000
     )
+    from mcl_3dl_tpu.ops.grouped import ZW
+
+    nzp = max(nz, ZW)
+    q2d = np.pad(q3d, ((0, 0), (0, 0), (0, nzp - nz)),
+                 constant_values=255).reshape(nx * ny, nzp)
     return DistanceField(
         field=jnp.asarray(q3d),
         origin=jnp.asarray(origin, jnp.float32),
@@ -202,6 +212,7 @@ def _finish(q3d, origin, cell, trunc, weights, pack_corners):
         trunc=float(trunc),
         weights=weights,
         packed=jnp.asarray(_pack_corners(q3d)) if pack else None,
+        field2d=jnp.asarray(q2d),
     )
 
 

@@ -150,6 +150,8 @@ def raycast_occ(
     filter_label_max: int,
     num_steps: int,
     early_exit: bool = True,
+    ray_angle_half: float = 0.0,
+    min_dist_thr_sq: float = 0.0,
 ):
     """DDA-style raycast against the occupancy grid.
 
@@ -159,6 +161,18 @@ def raycast_occ(
     origin is skipped (the reference increments the DDA cursor before
     the first intersection test).  Collision position is the voxel's
     mean map point.  Returns ``(collision, collision_pos, sin_angle=1)``.
+
+    Perpendicular-distance refinement (raycast_using_dda.h:237-258): an
+    occupied voxel blocks only if its map point lies within
+    ``max((ray_angle_half * foot)^2, min_dist_thr_sq)`` of the ray
+    (squared perpendicular distance; ``foot`` = distance from ray begin
+    to the point's perpendicular foot), so grazing rays that clip a
+    voxel corner stay LONG.  ``min_dist_thr_sq`` mirrors the reference's
+    own formula ``gx^2 + gy^2 + gy^2`` — y counted twice, quirk
+    preserved (raycast_using_dda.h:59).  Deviation: the reference tests
+    every point stored in the voxel; here the voxel's stored MEAN point
+    stands in (occupancy.py rationale).  With both parameters 0 every
+    occupied voxel blocks (the pre-refinement behaviour).
     """
     step = occ.cell * 0.5
     seg = end - begin
@@ -189,8 +203,22 @@ def raycast_occ(
         occ_hit, label, point_pos = occ.lookup(pos)
         voxel = jnp.floor((pos - occ.origin) / occ.cell).astype(jnp.int32)
         same_as_begin = jnp.all(voxel == begin_voxel, axis=-1)
+        # perpendicular-distance collision test (hasIntersection,
+        # raycast_using_dda.h:243-256) against the voxel's mean point
+        if ray_angle_half > 0.0 or min_dist_thr_sq > 0.0:
+            rel = point_pos - begin
+            foot = jnp.abs(jnp.sum(rel * direction, axis=-1))
+            thr_sq = jnp.maximum(
+                (jnp.float32(ray_angle_half) * foot) ** 2,
+                jnp.float32(min_dist_thr_sq),
+            )
+            perp_sq = jnp.sum(rel * rel, axis=-1) - foot * foot
+            near_ray = perp_sq < thr_sq
+        else:
+            near_ray = jnp.ones(occ_hit.shape, bool)
         blocked = (
             occ_hit
+            & near_ray
             & (label <= jnp.uint32(filter_label_max))
             & ~same_as_begin
             & (t < max_t)
@@ -234,6 +262,8 @@ def beam_measure(
     add_penalty_short_only_mode: bool,
     num_steps: int,
     early_exit: bool = True,
+    ray_angle_half: float = 0.0,
+    min_dist_thr_sq: float = 0.0,
 ):
     """Returns ``(likelihood[N], quality[N], status[N, B])``.
 
@@ -256,7 +286,8 @@ def beam_measure(
     if use_dda:
         collision, cpos, sin_ang = raycast_occ(
             occ, begins, ends, hit_range, filter_label_max, num_steps,
-            early_exit=early_exit,
+            early_exit=early_exit, ray_angle_half=ray_angle_half,
+            min_dist_thr_sq=min_dist_thr_sq,
         )
     else:
         collision, cpos, sin_ang = raycast_df(

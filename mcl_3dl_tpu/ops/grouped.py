@@ -323,3 +323,57 @@ def grouped_like_score(
         interpret=jax.default_backend() == "cpu",
     )(tile_group, meta, pts_fp, tables, gp_A)
     return score.reshape(-1), match.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Orchestration: the caller-facing two-phase API used by
+# models/likelihood.py.  Phase 1 (prepare) is cheap — counting sort +
+# interval boxes, O(N*12 + K*G) row ops, no [K, N] tensor — so the
+# caller can test ``fits`` BEFORE paying for table extraction, and keep
+# the whole extraction+kernel inside the taken branch of a lax.cond.
+# ---------------------------------------------------------------------------
+
+
+class GroupedPlan(NamedTuple):
+    gp: GroupedParticles
+    lo: jnp.ndarray        # [K, G, 3] i32 window origins
+    fits: jnp.ndarray      # [] bool — every (valid point, group) box fits
+
+
+def grouped_prepare(df, pos, rot, rot_mat, points, valid, active) -> GroupedPlan:
+    """Counting-sort the particles and bound every (point, group) query
+    box.  ``df`` is a map.distance_field.DistanceField with ``field2d``;
+    ``rot_mat`` the [N, 3, 3] matrices the caller already has."""
+    gp = build_groups(pos, rot_mat, rot, df.weights, float(df.cell),
+                      df.origin, active)
+    lo, fits_kg = group_boxes(gp, points)
+    fits = jnp.all(fits_kg | ~valid[:, None])
+    return GroupedPlan(gp=gp, lo=lo, fits=fits)
+
+
+def grouped_score(df, plan: GroupedPlan, points, valid, *,
+                  match_dist_min, match_dist_flat, match_weight):
+    """Extract local tables and run the grouped scoring kernel.
+
+    Returns ``(score [N], match_count [N])`` in ORIGINAL particle order.
+    Only call under ``plan.fits`` (lax.cond); semantics then equal the
+    XLA nearest-cell path (lidar_measurement_model_likelihood.cpp:124-135).
+    """
+    nx, ny, nz = df.field.shape
+    nzp = df.field2d.shape[1]
+    tables, z_used = extract_tables(
+        df.field2d, ny, nzp, plan.lo, valid, float(df.trunc))
+    meta = jnp.concatenate(
+        [plan.lo[..., :2], z_used[..., None],
+         jnp.zeros(z_used.shape + (1,), jnp.int32)], axis=-1)      # [K, G, 4]
+    pts_fp = jnp.round(points.astype(jnp.float32) * 65536.0).astype(jnp.int32)
+    pts_fp = jnp.concatenate(
+        [pts_fp, jnp.zeros((points.shape[0], 1), jnp.int32)], axis=-1)
+    s_sorted, m_sorted = grouped_like_score(
+        plan.gp.A, plan.gp.tile_group, meta, pts_fp, tables,
+        match_dist_min=float(match_dist_min),
+        match_dist_flat=float(match_dist_flat),
+        match_weight=float(match_weight),
+        trunc=float(df.trunc),
+    )
+    return jnp.take(s_sorted, plan.gp.dest), jnp.take(m_sorted, plan.gp.dest)

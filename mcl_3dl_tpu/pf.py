@@ -166,9 +166,27 @@ def add_noise(state: ParticleState, key: jax.Array, sigma6) -> ParticleState:
     return st.apply_noise_6dof(state, noise6)
 
 
-def expectation(state: ParticleState):
-    """Weighted mean pose -> (pos[3], quat[4]) (pf.h:280-293, ratio=1)."""
-    return st.weighted_mean(state, state.prob)
+def expectation(state: ParticleState, pass_ratio: float = 1.0):
+    """Weighted mean pose -> (pos[3], quat[4]) (pf.h:280-293).
+
+    With ``pass_ratio < 1`` the reference sorts particles by descending
+    probability and accumulates the mean until the cumulative
+    probability EXCEEDS the ratio — the crossing particle is added
+    before the break, so particle ``i`` (in sorted order) contributes
+    iff the cumulative sum through ``i-1`` is <= pass_ratio.  Deviation:
+    the reference's std::sort is unstable, so among equal-probability
+    particles at the cutoff the included subset is unspecified there;
+    here jnp.argsort is stable (ties broken by original index).
+    """
+    if pass_ratio >= 1.0:
+        return st.weighted_mean(state, state.prob)
+    prob = jnp.where(state.active_mask(), state.prob, 0.0)
+    order = jnp.argsort(-prob)
+    sorted_prob = prob[order]
+    prev_csum = jnp.cumsum(sorted_prob) - sorted_prob
+    w_sorted = jnp.where(prev_csum <= pass_ratio, sorted_prob, 0.0)
+    w = jnp.zeros_like(prob).at[order].set(w_sorted)
+    return st.weighted_mean(state, w)
 
 
 def expectation_biased(state: ParticleState):

@@ -240,6 +240,34 @@ def test_classify_cloud():
     assert u2.all()
 
 
+def test_match_clouds_interval_throttle():
+    """src/mcl_3dl.cpp:762-805 — matched/unmatched clouds are emitted at
+    most every match_output_interval_interval seconds, re-armed on a
+    backwards time jump, and only when a consumer is attached."""
+    eng, room = make_engine(match_output_interval_interval=0.35)
+    rot = np.array([0, 0, 0, 1], np.float32)
+    calls = []
+    eng.on_match_clouds = lambda t, m, u: calls.append((t, m, u))
+    # scans at t=0.1..0.6 (0.1 s apart): emissions at 0.1 and 0.5
+    run_scans(eng, room, TRUE_POS, rot, n=6)
+    assert [round(t, 2) for t, _, _ in calls] == [0.1, 0.5]
+    t_m, m, u = calls[0]
+    assert m.shape[1] == 3 and u.shape[1] == 3
+    assert len(m) > 0          # map-consistent scan: mostly matched
+    assert len(m) + len(u) <= 192
+
+    # backwards time jump > 1 s re-arms immediately
+    scan = simulate_scan(room, TRUE_POS, rot, n_rays=192, seed=9)
+    eng.measure_direct(scan, np.zeros((1, 3), np.float32),
+                       np.zeros(len(scan), np.int32), -5.0)
+    assert len(calls) == 3 and round(calls[-1][0], 2) == -5.0
+
+    # no callback -> no work, no state change
+    eng2, room2 = make_engine()
+    res = run_scans(eng2, room2, TRUE_POS, rot, n=2)
+    assert res is not None and eng2.match_output_last == -1e18
+
+
 def test_push_cloud_accumulation():
     eng, room = make_engine(accum_cloud=2)
     eng.odometry(np.zeros(3), np.array([0, 0, 0, 1.0]), 0.0)

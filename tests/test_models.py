@@ -219,6 +219,79 @@ def test_likelihood_local_kernel_matches_xla_path():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_likelihood_grouped_kernel_matches_xla_path():
+    """The yaw-grouped local-table path (ops/grouped.py, interpret mode
+    on CPU) must reproduce nearest-cell XLA scoring in the regime it was
+    built for: yaw spread large enough that the per-point global box
+    (tier 2) overflows, yet per-yaw-bin boxes fit."""
+    from mcl_3dl_tpu.ops import grouped as og
+
+    rng = np.random.default_rng(7)
+    wall = _wall_points()
+    df = build_distance_field(wall, 0.1, 0.6, weights=(1.0, 1.0, 0.5))
+    scan = _wall_points(x=2.0, half=2.0, grid=0.5)[:16]
+    K = len(scan)
+    N = og.TILE  # multiple of the grouped tile so the path is eligible
+    pos = jnp.asarray(
+        np.array([0.1, -0.05, 0.0]) + rng.normal(0, 0.03, (N, 3)),
+        jnp.float32,
+    )
+    # wide yaw fan: +-1.0 rad * ~2.8 m scan radius > the 3.2 m tier-2
+    # box; a 16th of it fits the 1.2 m grouped box comfortably
+    rpy = np.stack([
+        rng.normal(0, 0.01, N), rng.normal(0, 0.01, N),
+        rng.uniform(-1.0, 1.0, N),
+    ], axis=1)
+    rot = jnp.asarray(
+        np.stack([np.asarray(mq.from_rpy(jnp.asarray(r))) for r in rpy]),
+        jnp.float32,
+    )
+    valid = jnp.asarray(rng.uniform(size=K) < 0.85)
+    active = jnp.asarray(np.arange(N) < N - 100)   # stale tail slots
+    rmat = mq.rotation_matrix(mq.normalize(rot))
+
+    # regime check: grouped fits, the per-point exact box does not
+    plan = og.grouped_prepare(df, pos, rot, rmat,
+                              jnp.asarray(scan, jnp.float32), valid, active)
+    assert bool(plan.fits)
+    transformed = (
+        jnp.einsum("kj,nij->kni", jnp.asarray(scan, jnp.float32), rmat)
+        + pos[None, :, :]
+    )
+    iq = jnp.round(
+        (transformed * jnp.asarray(df.weights) - df.origin) / df.cell
+    ).astype(jnp.int32)
+    ext = jnp.max(iq, axis=1) - jnp.min(iq, axis=1)
+    assert not bool(jnp.all(
+        (ext < jnp.asarray([32, 32, 16])) | ~valid[:, None]))
+
+    args = (df, pos, rot, jnp.asarray(scan, jnp.float32), valid,
+            0.2, 0.05, 5.0)
+    lik_ref, qual_ref = likelihood_measure(*args, trilinear=False)
+    lik_g, qual_g = likelihood_measure(
+        *args, trilinear=False, local_kernel=True, active=active)
+    # inactive tail slots (prob 0, never read downstream) are excluded
+    # from the group boxes, so only active slots are specified
+    act = np.asarray(active)
+    np.testing.assert_allclose(np.asarray(lik_g)[act],
+                               np.asarray(lik_ref)[act],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qual_g)[act],
+                               np.asarray(qual_ref)[act],
+                               rtol=1e-6, atol=1e-6)
+
+    # position spread far beyond any local box: every tier falls back to
+    # the XLA path and still agrees
+    pos_wide = jnp.asarray(rng.uniform(-4.0, 4.0, (N, 3)), jnp.float32)
+    args_w = (df, pos_wide, rot, jnp.asarray(scan, jnp.float32), valid,
+              0.2, 0.05, 5.0)
+    lik_ref2, _ = likelihood_measure(*args_w, trilinear=False)
+    lik_g2, _ = likelihood_measure(
+        *args_w, trilinear=False, local_kernel=True, active=active)
+    np.testing.assert_allclose(np.asarray(lik_g2), np.asarray(lik_ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_likelihood_empty_cloud():
     df = build_distance_field(np.array([[0.0, 0.0, 0.0]]), 0.1, 0.6)
     lik, qual = likelihood_measure(
@@ -260,6 +333,42 @@ def test_raycast_occ_hits_wall():
     assert bool(col)
     assert abs(float(cpos[0]) - 2.0) < 0.25
     assert float(sin_ang) == 1.0  # DDA hardcodes sin (raycast_using_dda.h:151)
+
+
+def test_raycast_occ_perpendicular_refinement_corner_clip():
+    """raycast_using_dda.h:237-258: a ray that clips an occupied voxel's
+    corner far from the voxel's map point must NOT collide (LONG), while
+    the naive any-occupied-voxel check says SHORT.  min_dist_thr_sq uses
+    the reference's gx^2+gy^2+gy^2 formula; at map grid 0.1 the floor is
+    sqrt(0.03) ~ 0.173 m."""
+    # back wall keeps the ray origin inside the map AABB; the target
+    # point sits at the far corner of its 0.2 m voxel
+    pts = np.concatenate([
+        _wall_points(-4.0, 3.0, 0.1),
+        np.array([[2.19, 0.199, 0.0]]),
+    ])
+    occ = build_occupancy_grid(pts, 0.2)
+    begin = jnp.asarray([0.0, 0.001, 0.001], jnp.float32)
+    end = jnp.asarray([4.0, 0.001, 0.001], jnp.float32)
+    # perpendicular distance point<->ray ~ 0.198 > 0.173: refined = LONG
+    col_ref, _, _ = raycast_occ(
+        occ, begin, end, 0.3, 0xFFFFFFFF, 128,
+        ray_angle_half=0.25 * math.pi / 180.0, min_dist_thr_sq=0.03)
+    assert not bool(col_ref)
+    # naive occupied-voxel check (parameters zero) disagrees: SHORT
+    col_naive, _, _ = raycast_occ(occ, begin, end, 0.3, 0xFFFFFFFF, 128)
+    assert bool(col_naive)
+    # control: point near the ray axis still collides under refinement
+    pts2 = np.concatenate([
+        _wall_points(-4.0, 3.0, 0.1),
+        np.array([[2.1, 0.02, 0.01]]),
+    ])
+    occ2 = build_occupancy_grid(pts2, 0.2)
+    col_hit, cpos, _ = raycast_occ(
+        occ2, begin, end, 0.3, 0xFFFFFFFF, 128,
+        ray_angle_half=0.25 * math.pi / 180.0, min_dist_thr_sq=0.03)
+    assert bool(col_hit)
+    assert abs(float(cpos[0]) - 2.1) < 0.05
 
 
 def test_raycast_occ_outside_map_is_long():

@@ -203,3 +203,26 @@ def test_masked_inactive_particles_ignored():
     s2 = pf.resample(s, jax.random.PRNGKey(16), jnp.zeros(6))
     mask = np.asarray(s2.active_mask())
     assert (np.asarray(s2.pos)[mask, 0] < 100).all()
+
+
+def test_expectation_pass_ratio():
+    """pf.h:280-293: descending-probability accumulation stops AFTER the
+    particle that crosses pass_ratio (it is included in the mean)."""
+    n = 4
+    s = st.zeros(n)
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = [10.0, 1.0, 2.0, 100.0]          # scrambled order
+    prob = np.array([0.1, 0.4, 0.3, 0.2], np.float32)
+    s = s._replace(pos=jnp.asarray(pos), prob=jnp.asarray(prob))
+    # descending: p=.4 (x=1), p=.3 (x=2), p=.2 (x=100), p=.1 (x=10)
+    # ratio 0.6: add .4 (tot .4), add .3 (tot .7 > .6, break) -> {1, 2}
+    mean_pos, _ = pf.expectation(s, pass_ratio=0.6)
+    want = (0.4 * 1.0 + 0.3 * 2.0) / 0.7
+    assert abs(float(mean_pos[0]) - want) < 1e-5
+    # ratio 1.0 (default): plain weighted mean over all
+    mean_all, _ = pf.expectation(s)
+    want_all = 0.4 * 1.0 + 0.3 * 2.0 + 0.2 * 100.0 + 0.1 * 10.0
+    assert abs(float(mean_all[0]) - want_all) < 1e-4
+    # ratio just below the first particle's weight: top particle only
+    mean_top, _ = pf.expectation(s, pass_ratio=0.3)
+    assert abs(float(mean_top[0]) - 1.0) < 1e-5
