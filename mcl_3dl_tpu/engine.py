@@ -1066,8 +1066,11 @@ def _standable_mask(points: np.ndarray, grid: float, dist_weight) -> np.ndarray:
     """Points with no neighbor within weighted ``grid`` of p+(0,0,0.01+grid).
 
     Mirrors the pc_filter at src/mcl_3dl.cpp:1062-1074 with the node's
-    anisotropic point representation.  Voxel-hash neighbor query on host.
+    anisotropic point representation.  Vectorized kd-tree query (the
+    reference uses the chunked FLANN tree here); exact radius semantics.
     """
+    from scipy.spatial import cKDTree
+
     points = np.asarray(points, np.float64).reshape(-1, 3)
     m = points.shape[0]
     if m == 0:
@@ -1075,32 +1078,6 @@ def _standable_mask(points: np.ndarray, grid: float, dist_weight) -> np.ndarray:
     w = np.asarray(dist_weight, np.float64)
     scaled = points * w
     probe = (points + np.array([0.0, 0.0, 0.01 + grid])) * w
-    cell = grid
-    ijk = np.floor(scaled / cell).astype(np.int64)
-    buckets: dict = {}
-    for i, k in enumerate(map(tuple, ijk)):
-        buckets.setdefault(k, []).append(i)
-    keep = np.ones((m,), bool)
-    pijk = np.floor(probe / cell).astype(np.int64)
-    r = int(np.ceil(1.0)) + 1
-    offs = range(-r, r + 1)
-    g2 = grid * grid
-    for i in range(m):
-        kx, ky, kz = pijk[i]
-        found = False
-        for dx in offs:
-            for dy in offs:
-                for dz in offs:
-                    for j in buckets.get((kx + dx, ky + dy, kz + dz), ()):
-                        d2 = np.sum((scaled[j] - probe[i]) ** 2)
-                        if d2 <= g2:
-                            found = True
-                            break
-                    if found:
-                        break
-                if found:
-                    break
-            if found:
-                break
-        keep[i] = not found
-    return keep
+    tree = cKDTree(scaled, balanced_tree=False, compact_nodes=False)
+    d, _ = tree.query(probe, k=1, distance_upper_bound=grid, workers=-1)
+    return ~np.isfinite(d)

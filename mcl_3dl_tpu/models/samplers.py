@@ -54,33 +54,38 @@ def estimate_normals_host(
     eigenvalue.  Uses a voxel-hash neighbor search; points with < 3
     neighbors get a zero normal.
     """
+    from scipy.spatial import cKDTree
+
     points = np.asarray(points, np.float64).reshape(-1, 3)
     m = points.shape[0]
     normals = np.zeros((m, 3), np.float32)
     if m == 0:
         return normals
-    cell = search_range
-    ijk = np.floor(points / cell).astype(np.int64)
-    key_of = {}
-    for i, k in enumerate(map(tuple, ijk)):
-        key_of.setdefault(k, []).append(i)
-    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            for dz in (-1, 0, 1)]
-    r2 = search_range * search_range
-    for i in range(m):
-        kx, ky, kz = ijk[i]
-        neigh = []
-        for dx, dy, dz in offs:
-            neigh.extend(key_of.get((kx + dx, ky + dy, kz + dz), ()))
-        q = points[neigh]
-        d2 = np.sum((q - points[i]) ** 2, axis=1)
-        q = q[d2 <= r2]
-        if q.shape[0] < 3:
-            continue
-        c = q - q.mean(axis=0)
-        cov = c.T @ c
-        w, v = np.linalg.eigh(cov)
-        normals[i] = v[:, 0]
+    tree = cKDTree(points)
+    neigh = tree.query_ball_point(points, search_range, workers=-1)
+    counts = np.fromiter((len(n) for n in neigh), np.int64, m)
+    idx = np.concatenate([np.asarray(n, np.int64) for n in neigh]) \
+        if counts.sum() else np.zeros((0,), np.int64)
+    starts = np.zeros((m,), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    q = points[idx]
+    # per-point neighborhood scatter matrix from segment moments:
+    # cov = sum(q q^T) - n * mean mean^T  (same eigenvectors as the
+    # centered form the reference's PCL NormalEstimation uses)
+    s1 = np.add.reduceat(q, starts, axis=0) if m else q.sum(0)
+    outer = q[:, :, None] * q[:, None, :]
+    s2 = np.add.reduceat(outer.reshape(-1, 9), starts, axis=0)
+    # reduceat quirk: a zero-length segment returns the element at its
+    # start index — mask those out below via counts
+    ok = counts >= 3
+    n = np.maximum(counts, 1).astype(np.float64)[:, None]
+    mean = s1 / n
+    cov = s2.reshape(-1, 3, 3) - (n[..., None] * mean[:, :, None]
+                                  * mean[:, None, :])
+    cov_ok = cov[ok]
+    if cov_ok.shape[0]:
+        _, v = np.linalg.eigh(cov_ok)
+        normals[ok] = v[:, :, 0].astype(np.float32)
     return normals
 
 
