@@ -43,7 +43,8 @@ from mcl_3dl_tpu.math import filters as mf
 from mcl_3dl_tpu.math import quat as mq
 from mcl_3dl_tpu.math import quat_np as mqn
 from mcl_3dl_tpu.math.nd import NormalLikelihoodNd, normal_likelihood
-from mcl_3dl_tpu.models.beam import beam_measure
+from mcl_3dl_tpu.models.beam import beam_measure, beam_measure_grouped
+from mcl_3dl_tpu.ops.grouped import TILE as _GTILE
 from mcl_3dl_tpu.models.imu_gravity import imu_gravity_likelihood
 from mcl_3dl_tpu.models.likelihood import clip_mask, likelihood_measure
 from mcl_3dl_tpu.models.motion import (
@@ -659,22 +660,58 @@ class MCL3DL:
                     int(math.ceil((bp.clip_far + bp.hit_range)
                                   / p.map_grid_min)) + 2,
                 )
-            lik_b, _, _ = beam_measure(
-                df_beam, occ, state.pos, state.rot, beam_pts, beam_labels,
-                beam_valid, origins,
-                use_dda=bp.use_raycast_using_dda,
-                map_grid_min=p.map_grid_min, map_grid_max=p.map_grid_max,
-                hit_range=bp.hit_range,
-                beam_likelihood_min=bp.beam_likelihood,
-                num_points_default=bp.num_points,
-                sin_total_ref=math.sin(bp.ang_total_ref),
-                filter_label_max=bp.filter_label_max,
-                add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
-                num_steps=num_steps,
-                early_exit=not spmd_safe,
-                ray_angle_half=bp.ray_angle_half,
-                min_dist_thr_sq=p.min_dist_thr_sq,
+
+            def _beam_xla():
+                lik, _, _ = beam_measure(
+                    df_beam, occ, state.pos, state.rot, beam_pts,
+                    beam_labels, beam_valid, origins,
+                    use_dda=bp.use_raycast_using_dda,
+                    map_grid_min=p.map_grid_min,
+                    map_grid_max=p.map_grid_max,
+                    hit_range=bp.hit_range,
+                    beam_likelihood_min=bp.beam_likelihood,
+                    num_points_default=bp.num_points,
+                    sin_total_ref=math.sin(bp.ang_total_ref),
+                    filter_label_max=bp.filter_label_max,
+                    add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
+                    num_steps=num_steps,
+                    early_exit=not spmd_safe,
+                    ray_angle_half=bp.ray_angle_half,
+                    min_dist_thr_sq=p.min_dist_thr_sq,
+                )
+                return lik
+
+            # grouped fixed-march beam kernel: the reference's exact
+            # kd-tree march over the yaw-grouped local tables; fixed
+            # probe count covers the longest clipped ray (+1 m sensor-
+            # origin margin).  nprobe capped by its VMEM table block.
+            z_ext = max(abs(bp.clip_z_min), abs(bp.clip_z_max))
+            steps_g = int(math.ceil(
+                (math.hypot(bp.clip_far, z_ext) + bp.hit_range + 1.0)
+                / p.map_grid_min)) + 2
+            use_grouped_beam = (
+                self._local_kernel_ok and not spmd_safe
+                and not bp.use_raycast_using_dda
+                and state.pos.shape[0] % _GTILE == 0
+                and steps_g + 1 <= 64
             )
+            if use_grouped_beam:
+                lik_b = beam_measure_grouped(
+                    df_beam, state.pos, state.rot, beam_pts, beam_labels,
+                    beam_valid, origins,
+                    map_grid_min=p.map_grid_min,
+                    map_grid_max=p.map_grid_max,
+                    hit_range=bp.hit_range,
+                    beam_likelihood_min=bp.beam_likelihood,
+                    num_points_default=bp.num_points,
+                    sin_total_ref=math.sin(bp.ang_total_ref),
+                    add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
+                    num_steps=steps_g,
+                    active=mask,
+                    fallback=_beam_xla,
+                )
+            else:
+                lik_b = _beam_xla()
         else:
             lik_b = jnp.ones_like(lik_l)
         odom_error = normal_likelihood(

@@ -8,8 +8,9 @@ back-ends as bounded-step voxel marches over ``[particles, beams]``:
   probes every ``map_grid_min`` along the ray with
   ``radiusSearch(sqrt(2) * map_grid_max / 2)``; here each probe samples
   the (label-filtered) distance field; the incidence-angle estimate
-  ``sin = |d1 - d0| / (2 * map_grid_min)`` uses the field at the probe
-  and two steps back, exactly like raycast_using_kdtree.h:88-102.
+  is the field drop over the entry->hit span (see ``raycast_df`` for
+  why the reference's two-probe delta, raycast_using_kdtree.h:88-102,
+  cannot survive nearest-cell quantization).
 * **DDA mode** (raycasts/raycast_using_dda.h:106-159): marches the
   occupancy grid; ``sin_angle`` is hardcoded 1.0 (their :151-152 TODO),
   so TOTAL_REFLECTION can never trigger in this mode.
@@ -29,6 +30,7 @@ import jax.numpy as jnp
 from mcl_3dl_tpu.map.distance_field import DistanceField
 from mcl_3dl_tpu.map.occupancy import OccupancyGrid
 from mcl_3dl_tpu.math import quat as mq
+from mcl_3dl_tpu.ops import grouped as og
 
 
 class BeamStatus:
@@ -72,7 +74,6 @@ def raycast_df(
     length = jnp.linalg.norm(seg, axis=-1)
     max_t = jnp.floor((length + hit_tolerance) / map_grid_min) * map_grid_min
     direction = seg / jnp.maximum(length, 1e-12)[..., None]
-    inc = direction * map_grid_min
     shape = begin.shape[:-1]
 
     # Sphere tracing: the distance field value d bounds the weighted
@@ -87,23 +88,28 @@ def raycast_df(
     # probe tensors OOMs at 1M particles).
     w_vec = jnp.asarray(df.weights, jnp.float32)
     wu = jnp.linalg.norm(direction * w_vec, axis=-1)   # [...]: metric rate
+    d_entry_thr = float(df.trunc) * 0.99
 
     def cond(carry):
-        s, found, t, _, _ = carry
+        s, found, t, _, _, _, _ = carry
         return (s < num_steps) & jnp.any(~found & (t < max_t))
 
     def body(carry):
-        s, found, t, cpos, d0_hit = carry
+        s, found, t, cpos, d0_hit, t_entry, d_entry = carry
         pos = begin + direction * t[..., None]
         d = df.sample_nearest(pos)
         active = (t < max_t) & ~found
+        # field-entry bookkeeping for the incidence span (see below)
+        enter = active & (d < d_entry_thr) & (t_entry < 0.0)
+        t_entry = jnp.where(enter, t, t_entry)
+        d_entry = jnp.where(enter, d, d_entry)
         hit_now = (d <= radius) & active
         cpos = jnp.where(hit_now[..., None], pos, cpos)
         d0_hit = jnp.where(hit_now, d, d0_hit)
         advance = jnp.maximum((d - radius) / jnp.maximum(wu, 1e-6),
                               map_grid_min)
         t = jnp.where(active & ~hit_now, t + advance, t)
-        return s + 1, found | hit_now, t, cpos, d0_hit
+        return s + 1, found | hit_now, t, cpos, d0_hit, t_entry, d_entry
 
     init = (
         jnp.int32(0),
@@ -111,6 +117,8 @@ def raycast_df(
         jnp.full(shape, map_grid_min, jnp.float32),
         jnp.zeros(shape + (3,), jnp.float32),
         jnp.zeros(shape, jnp.float32),
+        jnp.full(shape, -1.0, jnp.float32),
+        jnp.full(shape, float(df.trunc), jnp.float32),
     )
     # while_loop (not fori): every ray resolves (hit, or t >= max_t), so
     # in steady-state tracking the march exits after a handful of
@@ -120,22 +128,28 @@ def raycast_df(
     # time from ~1 min to >18 min on this environment's compile service
     # — kept rolled for reliability.
     if early_exit:
-        _, any_hit, _, collision_pos, d0_hit = jax.lax.while_loop(
-            cond, body, init
-        )
+        _, any_hit, _, collision_pos, d0_hit, t_entry, d_entry = (
+            jax.lax.while_loop(cond, body, init))
     else:
-        _, any_hit, _, collision_pos, d0_hit = jax.lax.fori_loop(
-            0, num_steps, lambda _, c: body(c), init
-        )
+        _, any_hit, _, collision_pos, d0_hit, t_entry, d_entry = (
+            jax.lax.fori_loop(0, num_steps, lambda _, c: body(c), init))
 
-    # Incidence estimate from the probe two steps back
-    # (raycast_using_kdtree.h:88-102).
-    prev_pos = collision_pos - inc * 2.0
-    d1 = df.sample_nearest(prev_pos)
-    prev_radius = map_grid_min * 2.0 + radius
+    # Incidence estimate over the field-entry -> hit span.  DEVIATION
+    # from the reference's two-probe delta (raycast_using_kdtree.h:
+    # 88-102): the reference differentiates CONTINUOUS kd-tree point
+    # distances, but nearest-cell field samples quantize a 2-step delta
+    # to multiples of cell/(2*grid) — 0.5 at default geometry, useless
+    # against sin(ang_total_ref) = 0.5.  The span from where the ray
+    # entered the truncated field to the hit measures the same slope
+    # with noise ~cell/span; the span grows as 1/sin for grazing rays,
+    # so precision is best exactly where TOTAL_REFLECTION is decided
+    # (tests/test_models.py::test_fixed_march_total_reflection_geometry).
+    span = jnp.maximum(jnp.linalg.norm(
+        collision_pos - (begin + direction * t_entry[..., None]), axis=-1),
+        1e-6)
     sin_ang = jnp.where(
-        d1 <= prev_radius,
-        jnp.abs(d1 - d0_hit) / (map_grid_min * 2.0),
+        any_hit & (t_entry >= 0.0) & (span > map_grid_min),
+        jnp.clip((d_entry - d0_hit) / span, 0.0, 1.0),
         1.0,
     )
     sin_ang = jnp.where(any_hit, sin_ang, 0.0)
@@ -239,6 +253,157 @@ def raycast_occ(
         )
     sin_ang = jnp.where(any_hit, 1.0, 0.0)
     return any_hit, collision_pos, sin_ang
+
+
+def raycast_fixed(
+    df: DistanceField,
+    begin: jnp.ndarray,       # [..., 3]
+    end: jnp.ndarray,         # [..., 3]
+    map_grid_min: float,
+    map_grid_max: float,
+    hit_tolerance: float,
+    num_steps: int,
+):
+    """The reference's exact fixed-step march (raycast_using_kdtree.h:58-109)
+    as a pure-XLA fori_loop: probe every ``map_grid_min`` at t = i*grid
+    for 1 <= i < floor((|ray|+tol)/grid); collision = field <= sqrt(2)*
+    grid_max/2; incidence sin over the field-entry -> hit span (see the
+    estimator rationale in ``raycast_df``).  Slower than the sphere
+    trace at scale (no adaptive stride) — it exists as the semantics
+    oracle for the grouped Pallas beam kernel
+    (ops/grouped.grouped_beam_pen), which reproduces this march over
+    the sorted particle layout.
+
+    Returns ``(collision[...], collision_pos[..., 3], sin_angle[...])``.
+    """
+    radius = float(2.0**0.5) * map_grid_max / 2.0
+    d_entry_thr = float(df.trunc) * 0.99
+    seg = end - begin
+    length = jnp.linalg.norm(seg, axis=-1)
+    direction = seg / jnp.maximum(length, 1e-12)[..., None]
+    l_b = jnp.floor((length + hit_tolerance) / map_grid_min)
+    shape = begin.shape[:-1]
+
+    def body(s, carry):
+        found, t_hit, d_hit, t_entry, d_entry = carry
+        i = jnp.float32(s - 1)
+        pos = begin + direction * (i * map_grid_min)
+        d = df.sample_nearest(pos)
+        elig = (i >= 1.0) & (i < l_b)
+        enter = elig & ~found & (d < d_entry_thr) & (t_entry < 0.0)
+        t_entry = jnp.where(enter, i * map_grid_min, t_entry)
+        d_entry = jnp.where(enter, d, d_entry)
+        hit_now = elig & ~found & (d <= radius)
+        t_hit = jnp.where(hit_now, i * map_grid_min, t_hit)
+        d_hit = jnp.where(hit_now, d, d_hit)
+        return found | hit_now, t_hit, d_hit, t_entry, d_entry
+
+    zero = jnp.zeros(shape, jnp.float32)
+    init = (jnp.zeros(shape, bool), zero, zero,
+            jnp.full(shape, -1.0, jnp.float32),
+            jnp.full(shape, float(df.trunc), jnp.float32))
+    found, t_hit, d_hit, t_entry, d_entry = jax.lax.fori_loop(
+        0, num_steps + 1, body, init)
+
+    span = t_hit - t_entry
+    sin_ang = jnp.where(
+        found & (t_entry >= 0.0) & (span > map_grid_min),
+        jnp.clip((d_entry - d_hit) / jnp.maximum(span, 1e-6), 0.0, 1.0),
+        1.0,
+    )
+    sin_ang = jnp.where(found, sin_ang, 0.0)
+    cpos = begin + direction * t_hit[..., None]
+    cpos = jnp.where(found[..., None], cpos, 0.0)
+    return found, cpos, sin_ang
+
+
+def beam_measure_grouped(
+    df_beam: DistanceField,
+    pos: jnp.ndarray,          # [N, 3]
+    rot: jnp.ndarray,          # [N, 4]
+    points: jnp.ndarray,       # [B, 3] sampled beam endpoints (base frame)
+    origin_idx: jnp.ndarray,   # [B] int32
+    valid: jnp.ndarray,        # [B] bool
+    origins: jnp.ndarray,      # [L, 3]
+    *,
+    map_grid_min: float,
+    map_grid_max: float,
+    hit_range: float,
+    beam_likelihood_min: float,
+    num_points_default: int,
+    sin_total_ref: float,
+    add_penalty_short_only_mode: bool,
+    num_steps: int,
+    active: jnp.ndarray,
+    fallback,
+):
+    """Beam likelihood via the grouped fixed-march Pallas kernel.
+
+    Semantics = the reference kd-tree raycast + beam classification
+    (raycast_using_kdtree.h:58-109, lidar_measurement_model_beam.cpp:
+    124-192) — every probe position is affine in the particle pose with
+    a particle-independent virtual point org_b + dir_b * i*grid (ray
+    length is rotation-invariant), so the whole [particles x beams x
+    probes] march runs on the same yaw-grouped local tables as the
+    likelihood model.  ``fallback() -> likelihood[N]`` is taken (under
+    a lax.cond) when the group boxes don't fit — startup, global
+    localization, kidnapped spreads.
+
+    Returns ``likelihood [N]``.
+    """
+    nprobe = num_steps + 1                                     # i = -1..S-1
+    rmat = mq.rotation_matrix(mq.normalize(rot))
+    sensor_org = origins[origin_idx]                           # [B, 3]
+    seg = points - sensor_org
+    length = jnp.linalg.norm(seg, axis=-1)                     # [B]
+    dirb = seg / jnp.maximum(length, 1e-12)[..., None]
+    i_vals = jnp.arange(nprobe, dtype=jnp.float32) - 1.0       # [nprobe]
+    vp = (sensor_org[:, None, :]
+          + dirb[:, None, :] * (i_vals[None, :, None] * map_grid_min))
+    l_b = jnp.floor((length + hit_range) / map_grid_min)       # [B]
+    chain = (i_vals[None, :] < l_b[:, None]) & valid[:, None]  # [B, nprobe]
+    bb = points.shape[0]
+    kflat = bb * nprobe
+    vpf = vp.reshape(kflat, 3)
+    chainf = chain.reshape(kflat)
+
+    gp = og.build_groups(pos, rmat, rot, df_beam.weights,
+                         float(df_beam.cell), df_beam.origin, active)
+    lo, fits_kg = og.group_boxes(gp, vpf)
+    fits = jnp.all(fits_kg | ~chainf[:, None])
+
+    radius = float(2.0**0.5) * map_grid_max / 2.0
+    per_beam = beam_likelihood_min ** (1.0 / float(num_points_default))
+    has_points = jnp.sum(valid) > 0
+
+    def fast(_):
+        nzp = df_beam.field2d.shape[1]
+        tables, z_used = og.extract_tables(
+            df_beam.field2d, df_beam.field.shape[1], nzp, lo, chainf,
+            float(df_beam.trunc))
+        meta = jnp.concatenate(
+            [lo[..., :2], z_used[..., None],
+             jnp.zeros(z_used.shape + (1,), jnp.int32)], axis=-1)
+        pts_fp = jnp.round(vpf * 65536.0).astype(jnp.int32)
+        pts_fp = jnp.concatenate(
+            [pts_fp, jnp.zeros((kflat, 1), jnp.int32)], axis=-1)
+        aux = jnp.stack(
+            [jnp.round(length * 65536.0).astype(jnp.int32),
+             valid.astype(jnp.int32)], axis=-1)                # [B, 2]
+        npen_sorted = og.grouped_beam_pen(
+            gp.A, gp.tile_group, meta, pts_fp, aux,
+            tables.reshape(bb, nprobe, og.G_GROUPS, og.R_ROWS, og.ZW),
+            nprobe=nprobe, trunc=float(df_beam.trunc),
+            grid_min=float(map_grid_min), radius=radius,
+            hit_range=float(hit_range), sin_total_ref=float(sin_total_ref),
+            long_pen=not add_penalty_short_only_mode,
+            tol=float(hit_range),
+        )
+        n_pen = jnp.take(npen_sorted, gp.dest)
+        score = jnp.maximum(per_beam**n_pen, beam_likelihood_min)
+        return jnp.where(has_points, score, 1.0)
+
+    return jax.lax.cond(fits, fast, lambda _: fallback(), None)
 
 
 def beam_measure(

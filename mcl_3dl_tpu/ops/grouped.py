@@ -131,20 +131,25 @@ def build_groups(pos, rot_mat, rot, weights3, cell, origin3, active) -> GroupedP
     )
 
 
-def group_boxes(gp: GroupedParticles, pts):
+def group_boxes(gp: GroupedParticles, pts, offset=(0.0, 0.0, 0.0)):
     """Interval-arithmetic query bounds per (virtual point, group).
 
     ``pts`` [K, 3]: virtual points in base_link frame.  Returns
     ``lo [K, G, 3] i32`` (window origin; z clipped later by the
     extractor) and ``fits [K, G]`` — whether the conservative extent
     fits (BX, BY, ZW).  Empty groups trivially fit.
+
+    ``offset`` (cells): constant shift applied to the query bounds —
+    used when the lookup field's origin differs from the one
+    ``build_groups`` encoded (df vs the label-filtered df_beam share
+    cell/weights, so the frames differ by a constant).
     """
     p = pts.astype(jnp.float32)                                  # [K, 3]
     lo_f = jnp.zeros((pts.shape[0], G_GROUPS, 3), jnp.float32)
     hi_f = jnp.zeros_like(lo_f)
     for i in range(3):
-        lo_i = gp.a_min[:, 9 + i][None, :]
-        hi_i = gp.a_max[:, 9 + i][None, :]
+        lo_i = gp.a_min[:, 9 + i][None, :] + jnp.float32(offset[i])
+        hi_i = gp.a_max[:, 9 + i][None, :] + jnp.float32(offset[i])
         for j in range(3):
             amin = gp.a_min[:, 3 * i + j][None, :]               # [1, G]
             amax = gp.a_max[:, 3 * i + j][None, :]
@@ -165,11 +170,12 @@ def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
     field.
 
     ``field2d`` [nx*ny, nzp] u8 (z padded to >= 128 with 255 = trunc).
-    ``lo`` [K, G, 3].  Returns ``(tables [K, G, R, ZW] f32, z_used
-    [K, G] i32)`` — ``z_used`` is the clipped window start the kernel
-    must subtract.  Invalid points get all-trunc tables (no match, zero
-    contribution), mirroring ops/local_gather.local_score.
-    """
+    ``lo`` [K, G, 3].  Returns ``(tables [K, G, R, ZW] bf16 CODES in
+    [0, 255] — distance = code * trunc/255, and u8 codes are exact in
+    bf16 so the kernel's one-hot matmul reproduces ``sample_nearest``
+    bit-for-bit — and ``z_used [K, G] i32``, the clipped window start
+    the kernel must subtract).  Invalid points get all-255 (= trunc)
+    tables: no match, zero contribution."""
     kk, gg = lo.shape[0], lo.shape[1]
     nxy = field2d.shape[0]
     nx = nxy // ny
@@ -193,15 +199,21 @@ def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
         field2d, starts, dn, slice_sizes=(1, ZW),
         mode=jax.lax.GatherScatterMode.CLIP,
     )                                                            # [K, G, R, ZW] u8
-    vals = rows.astype(jnp.float32) * jnp.float32(trunc / 255.0)
-    vals = jnp.where(row_ok.reshape(kk, gg, R_ROWS)[..., None], vals, trunc)
-    vals = jnp.where(point_valid[:, None, None, None], vals, trunc)
-    return vals, z_used
+    codes = rows.astype(jnp.bfloat16)
+    full = jnp.bfloat16(255.0)
+    codes = jnp.where(row_ok.reshape(kk, gg, R_ROWS)[..., None], codes, full)
+    codes = jnp.where(point_valid[:, None, None, None], codes, full)
+    return codes, z_used
 
 
-def _affine_query(a_ref, px, py, pz, lox, loy, zlo):
-    """In-kernel query: relative cell coords of A @ p + b."""
-    a = a_ref[0]                                                 # [12, 8, 128]
+def _affine_query(a, px, py, pz, lox, loy, zlo):
+    """In-kernel query: relative cell coords of A @ p + b.
+
+    ``a`` is the [12, 8, 128] coefficient block — everything stays in
+    the compact (8, 128) vreg layout (a [TILE, 1]-oriented variant pads
+    every elementwise op to 128 lanes and measured 128x slot waste).
+    Returns [8, 128] row / lane indices + in-box mask.
+    """
     ux = a[0] * px + a[1] * py + a[2] * pz + a[9]
     uy = a[3] * px + a[4] * py + a[5] * pz + a[10]
     uz = a[6] * px + a[7] * py + a[8] * pz + a[11]
@@ -216,49 +228,66 @@ def _affine_query(a_ref, px, py, pz, lox, loy, zlo):
     return row, lane, inbox
 
 
-def _row_select(tab_ref, row, lane, fill):
+def _row_select(read_block, row, lane, fill):
     """Full-2D lookup: loop table rows, lane-gather, select on row match
-    (the only Mosaic-supported arbitrary-gather scheme; see
-    tools/exp_gather2.py for the failed direct alternatives)."""
-    def body(r, d):
-        rowv = tab_ref[0, 0, pl.ds(r, 1), :]
-        rowb = jnp.broadcast_to(rowv, row.shape)
-        v = jnp.take_along_axis(rowb, lane, axis=1)
-        return jnp.where(row == r, v, d)
+    — the scheme ops/local_gather.py sustains ~2.5G lookups/s with.  (An
+    MXU one-hot-matmul variant was tried and measured 3x slower end to
+    end: the one-hot build and z-select run on [TILE, 1]-padded vectors,
+    and the padding waste dwarfs the matmul win.)
 
-    return jax.lax.fori_loop(0, R_ROWS, body, jnp.full(row.shape, fill, jnp.float32))
+    ``read_block(b) -> [16, ZW]`` reads one aligned 16-row bf16 block
+    straight from the VMEM ref: Mosaic cannot dynamic-slice a
+    materialized value, and a single dynamically-indexed row load fails
+    sublane-alignment proving under the (16, 128) bf16 tiling — a
+    ``pl.ds(b*16, 16)`` block start is provably aligned.  Returns
+    selected codes [8, 128] f32.
+    """
+    nblk = R_ROWS // 16
+    assert nblk * 16 == R_ROWS
+
+    def body(bidx, d):
+        blk = read_block(bidx).astype(jnp.float32)          # [16, ZW]
+        for j in range(16):
+            rowb = jnp.broadcast_to(blk[j:j + 1, :], row.shape)
+            v = jnp.take_along_axis(rowb, lane, axis=1)
+            d = jnp.where(row == bidx * 16 + j, v, d)
+        return d
+
+    return jax.lax.fori_loop(
+        0, nblk, body, jnp.full(row.shape, fill, jnp.float32))
 
 
 def _like_kernel(tgrp_ref, meta_ref, pts_ref, tab_ref, a_ref,
-                 score_ref, match_ref, *, trunc, mdm, mdf, mw):
+                 score_ref, match_ref, *, kk, trunc, mdm, mdf, mw):
     t = pl.program_id(0)
-    k = pl.program_id(1)
     gsel = tgrp_ref[t]
-    lox = meta_ref[k, gsel, 0]
-    loy = meta_ref[k, gsel, 1]
-    zlo = meta_ref[k, gsel, 2]
-    scale = jnp.float32(1.0 / 65536.0)
-    px = pts_ref[k, 0].astype(jnp.float32) * scale
-    py = pts_ref[k, 1].astype(jnp.float32) * scale
-    pz = pts_ref[k, 2].astype(jnp.float32) * scale
+    a = a_ref[0]                                                 # [12, 8, 128]
+    code_scale = jnp.float32(trunc / 255.0)
+    pt_scale = jnp.float32(1.0 / 65536.0)
 
-    row2, lane2, inbox = _affine_query(a_ref, px, py, pz, lox, loy, zlo)
-    row = row2.reshape(8, 128)
-    lane = lane2.reshape(8, 128)
-    d = _row_select(tab_ref, row, lane, trunc)
-    d = jnp.where(inbox.reshape(8, 128), d, trunc)
+    def body(k, carry):
+        acc, mac = carry
+        mbase = (k * G_GROUPS + gsel) * 4
+        lox = meta_ref[mbase + 0]
+        loy = meta_ref[mbase + 1]
+        zlo = meta_ref[mbase + 2]
+        px = pts_ref[k * 4 + 0].astype(jnp.float32) * pt_scale
+        py = pts_ref[k * 4 + 1].astype(jnp.float32) * pt_scale
+        pz = pts_ref[k * 4 + 2].astype(jnp.float32) * pt_scale
+        row, lane, inbox = _affine_query(a, px, py, pz, lox, loy, zlo)
+        code = _row_select(
+            lambda b: tab_ref[pl.ds(k, 1), 0, pl.ds(b * 16, 16), :][0],
+            row, lane, 255.0)
+        d = jnp.where(inbox, code * code_scale, trunc)           # [8, 128]
+        matched = d <= mdm
+        contrib = jnp.maximum(mw * (mdm - jnp.maximum(d, mdf)), 0.0)
+        contrib = jnp.where(matched, contrib, 0.0)
+        return acc + contrib, mac + matched.astype(jnp.float32)
 
-    matched = d <= mdm
-    contrib = jnp.maximum(mw * (mdm - jnp.maximum(d, mdf)), 0.0)
-    contrib = jnp.where(matched, contrib, 0.0)
-
-    @pl.when(k == 0)
-    def _():
-        score_ref[...] = jnp.zeros_like(score_ref)
-        match_ref[...] = jnp.zeros_like(match_ref)
-
-    score_ref[...] += contrib
-    match_ref[...] += matched.astype(jnp.float32)
+    zero = jnp.zeros((8, 128), jnp.float32)
+    acc, mac = jax.lax.fori_loop(0, kk, body, (zero, zero))
+    score_ref[0] = acc
+    match_ref[0] = mac
 
 
 @functools.partial(
@@ -271,7 +300,7 @@ def grouped_like_score(
     tile_group: jnp.ndarray,   # [nt] i32
     meta: jnp.ndarray,         # [K, G, 4] i32: lo_x, lo_y, z_used, pad
     pts_fp: jnp.ndarray,       # [K, 4] i32 — point coords * 2^16
-    tables: jnp.ndarray,       # [K, G, R, ZW] f32
+    tables: jnp.ndarray,       # [K, G, R, ZW] bf16 codes
     *,
     match_dist_min: float,
     match_dist_flat: float,
@@ -280,36 +309,42 @@ def grouped_like_score(
 ):
     """Likelihood-field scoring over the sorted layout.
 
-    Returns ``(score [nt*8*128], match_count [nt*8*128])`` in SORTED
+    Returns ``(score [nt*TILE], match_count [nt*TILE])`` in SORTED
     slot order; the caller gathers back with ``GroupedParticles.dest``.
     Scoring semantics match lidar_measurement_model_likelihood.cpp:124-135
     (flat-floor clamp, matched mask, per-particle sum + match count).
+
+    Grid is (nt,) with all K scan points looped INSIDE the kernel: a
+    grid of (nt, K) programs measured 13x slower (1.33 s vs ~0.1 s for
+    1M x 96) purely from per-program dispatch/DMA overhead, and the
+    tile's full [K, 1, R, ZW] table block (~3.5 MB bf16 at K=96)
+    re-DMAs only when the tile's yaw group changes.
     """
     nt = gp_A.shape[0]
     kk = tables.shape[0]
     kern = functools.partial(
-        _like_kernel, trunc=float(trunc), mdm=float(match_dist_min),
+        _like_kernel, kk=kk, trunc=float(trunc), mdm=float(match_dist_min),
         mdf=float(match_dist_flat), mw=float(match_weight),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nt, kk),
+        grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, R_ROWS, ZW),
-                lambda t, k, tg, mt, pf: (k, tg[t], 0, 0),
+                (kk, 1, R_ROWS, ZW),
+                lambda t, tg, mt, pf: (0, tg[t], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 12, 8, 128),
-                lambda t, k, tg, mt, pf: (t, 0, 0, 0),
+                lambda t, tg, mt, pf: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda t, k, tg, mt, pf: (t, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda t, tg, mt, pf: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t, k, tg, mt, pf: (t, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda t, tg, mt, pf: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -321,8 +356,169 @@ def grouped_like_score(
             jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(tile_group, meta, pts_fp, tables, gp_A)
+    )(tile_group, meta.reshape(-1), pts_fp.reshape(-1), tables, gp_A)
     return score.reshape(-1), match.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Beam-model kernel: fixed-march raycast over the same sorted layout.
+#
+# The reference's kd-tree raycast (raycast_using_kdtree.h:58-109) probes
+# every map_grid_min along each ray; every probe position is an affine
+# function of PARTICLE pose with a particle-INDEPENDENT virtual point
+# p_{b,s} = org_b + dir_b * (s-1) * grid_min (rotation preserves ray
+# length, so the probe schedule is shared by all particles).  Each
+# (tile, beam) program marches its probes in order, carrying the
+# d-history needed for the incidence estimate (sin = |d(i-2) - d(i)| /
+# (2 grid_min), raycast_using_kdtree.h:88-102; two lead probes at
+# i = -1, 0 seed the chain exactly like the reference's march from the
+# ray origin), and classifies HIT/SHORT/LONG/TOTAL_REFLECTION
+# (lidar_measurement_model_beam.cpp:157-192) entirely in-kernel,
+# emitting only the per-particle penalized-beam count.
+# ---------------------------------------------------------------------------
+
+
+def _beam_kernel(tgrp_ref, meta_ref, pts_ref, aux_ref, tab_ref, a_ref,
+                 npen_ref, *, nprobe, trunc, grid_min, radius,
+                 hit_range, sin_total_ref, long_pen, tol):
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+    gsel = tgrp_ref[t]
+    a = a_ref[0]                                                 # [12, 8, 128]
+    code_scale = jnp.float32(trunc / 255.0)
+    pt_scale = jnp.float32(1.0 / 65536.0)
+
+    len_b = aux_ref[b * 2 + 0].astype(jnp.float32) * pt_scale
+    bvalid = aux_ref[b * 2 + 1] > 0
+    # probes at i*grid_min for 1 <= i < L_b (max_t = floor((len+tol)/g)*g)
+    l_b = jnp.floor((len_b + tol) / grid_min)
+    d_entry_thr = trunc * 0.99
+
+    def body(s, carry):
+        # `found` carried as f32 0/1: a bool loop carry fails Mosaic's
+        # scf.for legalization
+        found_f, t_hit, d_hit, t_entry, d_entry = carry
+        found = found_f > 0.5
+        kg = b * nprobe + s
+        mbase = (kg * G_GROUPS + gsel) * 4
+        lox = meta_ref[mbase + 0]
+        loy = meta_ref[mbase + 1]
+        zlo = meta_ref[mbase + 2]
+        px = pts_ref[kg * 4 + 0].astype(jnp.float32) * pt_scale
+        py = pts_ref[kg * 4 + 1].astype(jnp.float32) * pt_scale
+        pz = pts_ref[kg * 4 + 2].astype(jnp.float32) * pt_scale
+        row, lane, inbox = _affine_query(a, px, py, pz, lox, loy, zlo)
+        code = _row_select(
+            lambda blk: tab_ref[0, pl.ds(s, 1), 0, pl.ds(blk * 16, 16), :][0],
+            row, lane, 255.0)
+        d = jnp.where(inbox, code * code_scale, trunc)           # [8, 128]
+
+        i = (s - 1).astype(jnp.float32)
+        elig = (i >= 1.0) & (i < l_b) & bvalid
+        enter = elig & ~found & (d < d_entry_thr) & (t_entry < 0.0)
+        t_entry = jnp.where(enter, i * grid_min, t_entry)
+        d_entry = jnp.where(enter, d, d_entry)
+        hit_now = elig & ~found & (d <= radius)
+        t_hit = jnp.where(hit_now, i * grid_min, t_hit)
+        d_hit = jnp.where(hit_now, d, d_hit)
+        return (jnp.where(hit_now, 1.0, found_f), t_hit, d_hit,
+                t_entry, d_entry)
+
+    zero = jnp.zeros((8, 128), jnp.float32)
+    init = (zero, zero, zero,
+            jnp.full((8, 128), -1.0, jnp.float32),
+            jnp.full((8, 128), trunc, jnp.float32))
+    found_f, t_hit, d_hit, t_entry, d_entry = jax.lax.fori_loop(
+        0, nprobe, body, init)
+    found = found_f > 0.5
+
+    # incidence over the field-entry -> hit span (estimator rationale in
+    # models/beam.raycast_df)
+    span = t_hit - t_entry
+    sin = jnp.where(
+        found & (t_entry >= 0.0) & (span > grid_min),
+        jnp.clip((d_entry - d_hit) / jnp.maximum(span, 1e-6), 0.0, 1.0),
+        1.0,
+    )
+    graze = found & (sin <= sin_total_ref)
+    dist = len_b - t_hit
+    short = found & ~graze & (dist * dist >= hit_range * hit_range)
+    long_p = (~found) & long_pen
+    pen = ((short | long_p) & bvalid).astype(jnp.float32)     # [8, 128]
+
+    @pl.when(b == 0)
+    def _():
+        npen_ref[...] = jnp.zeros_like(npen_ref)
+
+    npen_ref[0] += pen
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "trunc", "grid_min", "radius",
+                     "hit_range", "sin_total_ref", "long_pen", "tol"),
+)
+def grouped_beam_pen(
+    gp_A: jnp.ndarray,         # [nt, 12, 8, 128]
+    tile_group: jnp.ndarray,   # [nt] i32
+    meta: jnp.ndarray,         # [B*nprobe, G, 4] i32
+    pts_fp: jnp.ndarray,       # [B*nprobe, 4] i32 — virtual points * 2^16
+    aux: jnp.ndarray,          # [B, 2] i32 — (ray length * 2^16, valid)
+    tables: jnp.ndarray,       # [B, nprobe, G, R, ZW] bf16 codes
+    *,
+    nprobe: int,
+    trunc: float,
+    grid_min: float,
+    radius: float,
+    hit_range: float,
+    sin_total_ref: float,
+    long_pen: bool,
+    tol: float,
+):
+    """Penalized-beam count per particle, SORTED slot order [nt*TILE].
+
+    Classification semantics = lidar_measurement_model_beam.cpp:157-192
+    over the reference's fixed kd-tree march; the caller turns the count
+    into the score beam_likelihood_min^(n_pen/num_points_default)
+    (:146-152).
+    """
+    nt = gp_A.shape[0]
+    bb = tables.shape[0]
+    kern = functools.partial(
+        _beam_kernel, nprobe=nprobe, trunc=float(trunc),
+        grid_min=float(grid_min), radius=float(radius),
+        hit_range=float(hit_range),
+        sin_total_ref=float(sin_total_ref), long_pen=bool(long_pen),
+        tol=float(tol),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nt, bb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nprobe, 1, R_ROWS, ZW),
+                lambda t, b, tg, mt, pf, ax: (b, 0, tg[t], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 12, 8, 128),
+                lambda t, b, tg, mt, pf, ax: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda t, b, tg, mt, pf, ax: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (npen,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(tile_group, meta.reshape(-1), pts_fp.reshape(-1), aux.reshape(-1),
+      tables, gp_A)
+    return npen.reshape(-1)
 
 
 # ---------------------------------------------------------------------------

@@ -492,3 +492,109 @@ def test_landmark_likelihood_peaks_at_measurement():
         mq.identity(), nd,
     ))
     assert lik2[0] > lik2[1]
+
+
+def test_beam_grouped_kernel_matches_fixed_march():
+    """The grouped beam kernel (ops/grouped.grouped_beam_pen, interpret
+    mode on CPU) must reproduce the pure-XLA fixed march + reference
+    classification (raycast_fixed + lidar_measurement_model_beam.cpp:
+    124-192 scoring) over a yaw fan of particles."""
+    from mcl_3dl_tpu.models.beam import beam_measure_grouped, raycast_fixed
+    from mcl_3dl_tpu.ops import grouped as og
+
+    rng = np.random.default_rng(3)
+    wall = _wall_points(x=2.0, half=3.0, grid=0.1)
+    df = build_distance_field(wall, 0.1, 0.6, weights=(1.0, 1.0, 1.0),
+                              pack_corners=False)
+
+    B = 3
+    N = og.TILE
+    # beam endpoints on the wall, one per origin slot
+    ends = np.array([[2.0, 0.3, 0.1], [2.0, -0.8, -0.2], [2.0, 1.4, 0.4]],
+                    np.float32)
+    origins = np.array([[0.0, 0.0, 0.2], [0.05, -0.02, 0.25]], np.float32)
+    origin_idx = np.array([0, 1, 0], np.int32)
+    valid = jnp.asarray([True, True, False])
+
+    pos = jnp.asarray(np.array([0.05, -0.02, 0.0])
+                      + rng.normal(0, 0.05, (N, 3)), jnp.float32)
+    rpy = np.stack([
+        rng.normal(0, 0.02, N), rng.normal(0, 0.02, N),
+        rng.uniform(-0.5, 0.5, N)], axis=1)
+    rot = jnp.asarray(
+        np.stack([np.asarray(mq.from_rpy(jnp.asarray(r))) for r in rpy]),
+        jnp.float32)
+
+    grid_min, grid_max, hit_range = 0.1, 0.15, 0.3
+    num_steps = int(math.ceil((3.0 + hit_range) / grid_min)) + 2
+    blm, npd, sin_tr = 0.2, 3, math.sin(math.pi / 6.0)
+
+    lik_g = beam_measure_grouped(
+        df, pos, rot, jnp.asarray(ends), jnp.asarray(origin_idx), valid,
+        jnp.asarray(origins),
+        map_grid_min=grid_min, map_grid_max=grid_max, hit_range=hit_range,
+        beam_likelihood_min=blm, num_points_default=npd,
+        sin_total_ref=sin_tr, add_penalty_short_only_mode=False,
+        num_steps=num_steps, active=jnp.ones((N,), bool),
+        fallback=lambda: jnp.full((N,), -1.0),   # poison: fits must hold
+    )
+    assert float(jnp.min(lik_g)) >= 0.0, "grouped path did not engage"
+
+    # oracle: fixed march + reference classification, done in XLA
+    rmat = mq.rotation_matrix(mq.normalize(rot))
+    e = (jnp.einsum("bj,nij->nbi", jnp.asarray(ends), rmat)
+         + pos[:, None, :])
+    o = (jnp.einsum("bj,nij->nbi", jnp.asarray(origins[origin_idx]), rmat)
+         + pos[:, None, :])
+    coll, cpos, sin_a = raycast_fixed(df, o, e, grid_min, grid_max,
+                                      hit_range, num_steps)
+    dist_sq = jnp.sum((e - cpos) ** 2, axis=-1)
+    graze = coll & (sin_a <= sin_tr)
+    short = coll & ~graze & (dist_sq >= hit_range**2)
+    long_ = ~coll
+    pen = (short | long_) & valid[None, :]
+    n_pen = jnp.sum(pen, axis=-1).astype(jnp.float32)
+    lik_ref = jnp.maximum((blm ** (1.0 / npd)) ** n_pen, blm)
+
+    # the kernel's affine cell arithmetic and sample_nearest round the
+    # same query through different fp association orders, so particles
+    # sitting exactly on a cell boundary can flip one probe — allow a
+    # per-mille of such flips, require exact agreement elsewhere
+    mismatch = ~np.isclose(np.asarray(lik_g), np.asarray(lik_ref),
+                           rtol=1e-6, atol=1e-6)
+    assert mismatch.mean() < 0.005, (
+        mismatch.sum(), np.asarray(lik_g)[mismatch][:4],
+        np.asarray(lik_ref)[mismatch][:4])
+
+
+def test_fixed_march_total_reflection_geometry():
+    """Pin the incidence estimate (raycast_using_kdtree.h:88-102): for a
+    ray hitting a dense wall at angle alpha to the surface, the probe-
+    delta estimate must approximate sin(alpha) — grazing rays classify
+    TOTAL_REFLECTION, steep rays don't."""
+    from mcl_3dl_tpu.models.beam import raycast_fixed
+
+    grid = 0.05
+    wall = _wall_points(x=2.0, half=4.0, grid=grid)
+    df = build_distance_field(wall, grid, 0.6, weights=(1.0, 1.0, 1.0),
+                              pack_corners=False)
+
+    def cast(alpha):
+        # ray in the xy plane; angle alpha between ray and the wall
+        # plane (x = 2) means direction (sin a, cos a, 0)
+        d = np.array([math.sin(alpha), math.cos(alpha), 0.0])
+        begin = np.array([[2.0 - 3.0 * d[0], -3.0 * d[1], 0.0]], np.float32)
+        end = begin + (3.2 * d).astype(np.float32)
+        coll, _, sin_a = raycast_fixed(
+            df, jnp.asarray(begin), jnp.asarray(end), grid, grid, 0.3,
+            int((3.2 + 0.3) / grid) + 2)
+        return bool(coll[0]), float(sin_a[0])
+
+    hit_g, sin_g = cast(math.radians(8.0))     # grazing
+    hit_s, sin_s = cast(math.radians(60.0))    # steep
+    assert hit_g and hit_s
+    # quantization tolerance: probes snap to 0.05 m cells over a 0.1 m
+    # baseline, so allow a loose band — the classification threshold
+    # (sin 30 deg = 0.5) still separates cleanly
+    assert abs(sin_g - math.sin(math.radians(8.0))) < 0.25, sin_g
+    assert sin_g < 0.5 < sin_s, (sin_g, sin_s)

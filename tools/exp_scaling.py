@@ -1,0 +1,103 @@
+"""Virtual-mesh scaling + fleet memory smoke (VERDICT r1 item 8).
+
+Runs on 8 virtual CPU devices (no chip contention):
+  A. sharded fused step at 1/2/4/8 devices, fixed 64k particles —
+     correctness (finite, device-count-invariant pose) + a wall-clock
+     table.  CPU timings only sanity-check that collectives don't
+     serialize the step; real scaling needs real chips.
+  B. fleet step at 64 robots x 10k particles over ("robots",
+     "particles") — smokes the [robots, particles] memory layout toward
+     BASELINE's 1024x10k config.
+"""
+
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import __graft_entry__ as ge
+    from mcl_3dl_tpu.parallel import (
+        fleet_filter_step, make_mesh, shard_state, sharded_filter_step,
+    )
+
+    # ---- A: device-count scaling at fixed particle count
+    eng, args = ge._build_engine_and_inputs(
+        num_particles=1 << 16, cloud_points=512, fast=True)
+    poses = {}
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(nd)
+        state = shard_state(args[0], mesh)
+        step = sharded_filter_step(eng, mesh)
+        out = step(state, *args[1:])
+        jax.block_until_ready(out)
+        # pose after ONE step from identical state: only reduction-order
+        # noise (resampling thresholds amplify fp noise chaotically over
+        # further steps, so later poses are not comparable)
+        poses[nd] = np.asarray(jax.device_get(out[-1])["e_pos"])
+        t0 = time.monotonic()
+        iters = 3
+        for _ in range(iters):
+            out = step(out[0], *args[1:])
+        jax.block_until_ready(out)
+        dt = (time.monotonic() - t0) / iters
+        aux = jax.device_get(out[-1])
+        assert np.isfinite(poses[nd]).all()
+        print(f"A scaling: {nd} dev, 65536 particles: {dt*1e3:.0f} ms/step "
+              f"pose={np.round(poses[nd], 4)}")
+    for nd in (2, 4, 8):
+        np.testing.assert_allclose(poses[nd], poses[1], atol=1e-4)
+    print("A scaling: first-step pose agrees across device counts OK")
+
+    # ---- B: fleet memory smoke, 64 robots x 10k particles
+    robots, npart = 64, 10240
+    eng2, args2 = ge._build_engine_and_inputs(
+        num_particles=npart, cloud_points=256, fast=True)
+    mesh = make_mesh(8, robots=8)
+
+    def tile(x):
+        return jnp.broadcast_to(x[None], (robots,) + x.shape)
+
+    state_b = jax.tree.map(tile, args2[0])
+    state_b = shard_state(state_b, mesh, batched=True)
+    keys = jax.random.split(args2[1], robots)
+    cloud_b = tile(args2[5])
+    label_b = tile(args2[6])
+    valid_b = tile(args2[7])
+    normals_b = tile(args2[8])
+    origins_b = tile(args2[9])
+    o_pos = tile(args2[10]); o_rot = tile(args2[11])
+    p_pos = tile(args2[12]); p_rot = tile(args2[13])
+    f_pos_b = jax.tree.map(tile, args2[14])
+    f_ang_b = jax.tree.map(tile, args2[15])
+    gfix = jnp.zeros((robots,), bool)
+
+    step = fleet_filter_step(eng2, mesh)
+    t0 = time.monotonic()
+    out = step(state_b, keys, args2[2], args2[3], args2[4],
+               cloud_b, label_b, valid_b, normals_b, origins_b,
+               o_pos, o_rot, p_pos, p_rot, f_pos_b, f_ang_b, gfix)
+    jax.block_until_ready(out)
+    aux = jax.device_get(out[-1])
+    e = np.asarray(aux["e_pos"])
+    assert e.shape == (robots, 3) and np.isfinite(e).all()
+    print(f"B fleet: {robots} robots x {npart} particles "
+          f"(compile+step {time.monotonic()-t0:.0f}s) pose[0]="
+          f"{np.round(e[0], 3)} OK")
+
+
+if __name__ == "__main__":
+    main()
