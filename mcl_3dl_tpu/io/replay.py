@@ -64,6 +64,7 @@ class ReplayDriver:
     log: ReplayLog
     on_pose: Optional[Callable] = None
     poses: list = field(default_factory=list)
+    raw_poses: list = field(default_factory=list)
 
     def run(self, t_end: Optional[float] = None):
         """Feed every event to the engine in time order."""
@@ -91,6 +92,8 @@ class ReplayDriver:
                     self.poses.append((t, np.asarray(res.pos),
                                        np.asarray(res.rot),
                                        np.asarray(res.cov)))
+                    self.raw_poses.append(
+                        (t, np.asarray(res.raw_pos), np.asarray(res.raw_rot)))
                     if self.on_pose:
                         self.on_pose(t, res)
         return self.poses
@@ -121,3 +124,17 @@ class ReplayDriver:
                 if abs(err_vec[axis]) > 3.0 * sigma + 1e-2:
                     violations.append((t, f"3sigma_axis{axis}", err_vec[axis]))
         return max_err, violations
+
+    def compare_tf(self, tolerance: float = 0.05):
+        """Mirror compare_tf.cpp:42-101: the TF-composed (LPF-smoothed)
+        pose must agree with the published raw pose within ``tolerance``
+        metres at every output.  Returns (max_diff, violations list).
+        """
+        violations = []
+        max_diff = 0.0
+        for (t, pos, _, _), (_, raw, _) in zip(self.poses, self.raw_poses):
+            diff = float(np.linalg.norm(pos - raw))
+            max_diff = max(max_diff, diff)
+            if diff > tolerance:
+                violations.append((t, "tf", diff))
+        return max_diff, violations

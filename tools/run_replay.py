@@ -74,14 +74,17 @@ def main():
 
     if args.compare:
         max_err, violations = driver.compare_to_reference(args.tolerance)
+        tf_diff, tf_violations = driver.compare_tf()
         print(json.dumps({
             "max_error_m": float(max_err),
             "tolerance_m": args.tolerance,
             "violations": len(violations),
-            "pass": not violations,
+            "max_tf_diff_m": float(tf_diff),
+            "tf_violations": len(tf_violations),
+            "pass": not violations and not tf_violations,
         }))
-        if violations:
-            for v in violations[:10]:
+        if violations or tf_violations:
+            for v in (violations + tf_violations)[:10]:
                 print("  violation:", v, file=sys.stderr)
             sys.exit(1)
 
