@@ -100,9 +100,14 @@ def main():
     evals_per_sec = n_particles * (like_pts + beam_pts) / dt
     baseline = 64 * (like_pts + beam_pts) * 10.0
 
+    # which measurement tier actually ran at steady state (0 = grouped
+    # Pallas kernel, 1 = per-point box kernel, 2 = XLA gather)
+    tier_like = int(np.asarray(out[-1]["tier_like"]))
+    tier_beam = int(np.asarray(out[-1]["tier_beam"]))
     print(
         f"step: {dt*1e3:.2f} ms | {updates_per_sec:.1f} filter updates/s "
-        f"at {n_particles} particles | {evals_per_sec:.3e} point-evals/s",
+        f"at {n_particles} particles | {evals_per_sec:.3e} point-evals/s "
+        f"| tiers: like={tier_like} beam={tier_beam}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -116,6 +121,8 @@ def main():
             "points_per_particle": like_pts + beam_pts,
             "step_ms": dt * 1e3,
             "baseline_evals_per_sec": baseline,
+            "tier_like": tier_like,
+            "tier_beam": tier_beam,
         },
     }))
 

@@ -43,7 +43,9 @@ from mcl_3dl_tpu.math import filters as mf
 from mcl_3dl_tpu.math import quat as mq
 from mcl_3dl_tpu.math import quat_np as mqn
 from mcl_3dl_tpu.math.nd import NormalLikelihoodNd, normal_likelihood
-from mcl_3dl_tpu.models.beam import beam_measure, beam_measure_grouped
+from mcl_3dl_tpu.models.beam import (BeamVirtualPoints, beam_measure,
+                                     beam_measure_grouped)
+from mcl_3dl_tpu.ops import grouped as og
 from mcl_3dl_tpu.ops.grouped import TILE as _GTILE
 from mcl_3dl_tpu.models.imu_gravity import imu_gravity_likelihood
 from mcl_3dl_tpu.models.likelihood import clip_mask, likelihood_measure
@@ -625,26 +627,83 @@ class MCL3DL:
         # counts, pose uncertainty >> half a cell).
         in_global_mode = state.n_active > p.num_particles
         local_ok = self._local_kernel_ok and not spmd_safe
+        n_cap = state.pos.shape[0]
+        rmat = mq.rotation_matrix(mq.normalize(state.rot))    # [N, 3, 3]
+
+        # grouped fixed-march beam kernel eligibility (the reference's
+        # exact kd-tree march over pose-grouped local tables; fixed
+        # probe count covers the longest clipped ray (+1 m sensor-
+        # origin margin).  nprobe capped by its VMEM table block.
+        use_grouped_beam = False
+        if p.use_beam_model and not bp.use_raycast_using_dda:
+            z_ext = max(abs(bp.clip_z_min), abs(bp.clip_z_max))
+            steps_g = int(math.ceil(
+                (math.hypot(bp.clip_far, z_ext) + bp.hit_range + 1.0)
+                / p.map_grid_min)) + 2
+            use_grouped_beam = (
+                local_ok and n_cap % _GTILE == 0 and steps_g + 1 <= 64
+            )
+
+        # ONE pose-grouped sort serves both measurement kernels: df and
+        # df_beam live on the same grid (map/map_data.py), so the stats,
+        # the counting-sorted layout, and the overflow slots are shared;
+        # each model keeps its own per-virtual-point boxes + fits cond.
+        grouped_like = grouped_beam = None
+        share_like = (
+            local_ok and lp.interp == "nearest"
+            and n_cap % _GTILE == 0 and df.field2d is not None
+        )
+        if share_like or use_grouped_beam:
+            cap = og.default_overflow_cap(n_cap)
+            stats = og.group_stats(state.pos, rmat, state.rot, df.weights,
+                                   float(df.cell), df.origin, mask)
+            need_layout = jnp.zeros((), bool)
+            if share_like:
+                lo_l, fits_kg_l = og.group_boxes(stats, like_pts,
+                                                 df.field.shape)
+                fits_l = (jnp.all(fits_kg_l | ~like_valid[:, None])
+                          & (stats.n_over <= cap))
+                need_layout |= fits_l
+            if use_grouped_beam:
+                vp = BeamVirtualPoints(
+                    beam_pts, beam_labels, beam_valid, origins,
+                    p.map_grid_min, bp.hit_range, steps_g)
+                lo_b, fits_kg_b = og.group_boxes(stats, vp.vpf,
+                                                 df_beam.field.shape)
+                fits_b = (jnp.all(fits_kg_b | ~vp.chainf[:, None])
+                          & (stats.n_over <= cap))
+                need_layout |= fits_b
+            layout = jax.lax.cond(
+                need_layout,
+                lambda: og.build_layout(stats, cap),
+                lambda: og.empty_layout(n_cap, cap),
+            )
+            if share_like:
+                grouped_like = (stats, layout, lo_l, fits_l)
+            if use_grouped_beam:
+                grouped_beam = (stats, layout, lo_b, fits_b, vp)
+
         if lp.interp == "nearest":
-            lik_l, qual_l = likelihood_measure(
+            lik_l, qual_l, tier_like = likelihood_measure(
                 df, state.pos, state.rot, like_pts, like_valid,
                 lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
                 trilinear=False, local_kernel=local_ok,
-                active=state.active_mask(),
+                active=mask, rmat=rmat, grouped=grouped_like,
+                with_info=True,
             )
         else:
-            lik_l, qual_l = jax.lax.cond(
+            lik_l, qual_l, tier_like = jax.lax.cond(
                 in_global_mode,
                 lambda: likelihood_measure(
                     df, state.pos, state.rot, like_pts, like_valid,
                     lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
                     trilinear=False, local_kernel=local_ok,
-                    active=state.active_mask(),
+                    active=mask, rmat=rmat, with_info=True,
                 ),
                 lambda: likelihood_measure(
                     df, state.pos, state.rot, like_pts, like_valid,
                     lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-                    trilinear=True,
+                    trilinear=True, rmat=rmat, with_info=True,
                 ),
             )
         if p.use_beam_model:
@@ -681,22 +740,8 @@ class MCL3DL:
                 )
                 return lik
 
-            # grouped fixed-march beam kernel: the reference's exact
-            # kd-tree march over the yaw-grouped local tables; fixed
-            # probe count covers the longest clipped ray (+1 m sensor-
-            # origin margin).  nprobe capped by its VMEM table block.
-            z_ext = max(abs(bp.clip_z_min), abs(bp.clip_z_max))
-            steps_g = int(math.ceil(
-                (math.hypot(bp.clip_far, z_ext) + bp.hit_range + 1.0)
-                / p.map_grid_min)) + 2
-            use_grouped_beam = (
-                self._local_kernel_ok and not spmd_safe
-                and not bp.use_raycast_using_dda
-                and state.pos.shape[0] % _GTILE == 0
-                and steps_g + 1 <= 64
-            )
             if use_grouped_beam:
-                lik_b = beam_measure_grouped(
+                lik_b, tier_beam = beam_measure_grouped(
                     df_beam, state.pos, state.rot, beam_pts, beam_labels,
                     beam_valid, origins,
                     map_grid_min=p.map_grid_min,
@@ -709,11 +754,16 @@ class MCL3DL:
                     num_steps=steps_g,
                     active=mask,
                     fallback=_beam_xla,
+                    grouped=grouped_beam,
+                    rmat=rmat,
+                    with_info=True,
                 )
             else:
                 lik_b = _beam_xla()
+                tier_beam = jnp.int32(2)
         else:
             lik_b = jnp.ones_like(lik_l)
+            tier_beam = jnp.int32(-1)
         odom_error = normal_likelihood(
             jnp.linalg.norm(state.odom_err_lin, axis=-1), p.odom_err_integ_lin_sigma
         )
@@ -825,6 +875,9 @@ class MCL3DL:
             "large_std": large_std, "converged": converged,
             "did_resize": did_resize,
             "points_not_found": points_not_found,
+            # engaged measurement tier (0=grouped Pallas, 1=per-point box,
+            # 2=XLA gather, -1=model off) — bench.py reports these
+            "tier_like": tier_like, "tier_beam": tier_beam,
             "e_max_odom_err_lin": e_max["odom_err_lin"],
             "e_max_odom_err_ang": e_max["odom_err_ang"],
         }

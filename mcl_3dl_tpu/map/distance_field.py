@@ -223,6 +223,7 @@ def build_distance_field(
     weights=(1.0, 1.0, 1.0),
     padding: float | None = None,
     pack_corners: bool = True,
+    grid: tuple | None = None,
 ) -> DistanceField:
     """Build the truncated distance field from map points [M, 3].
 
@@ -230,6 +231,11 @@ def build_distance_field(
     cell whose weighted distance to some point is <= trunc receives the
     true minimum.  ``pack_corners`` additionally stores the 2x2x2 corner
     pack for single-gather trilinear sampling (8 bytes/cell extra).
+
+    ``grid``: optional ``(origin [3], (nx, ny, nz))`` in weighted space
+    to build on a caller-fixed frame — used so the label-filtered beam
+    field shares the likelihood field's grid exactly and one
+    pose-grouped particle layout (ops/grouped.py) serves both kernels.
     """
     weights = tuple(float(w) for w in weights)
     w = np.asarray(weights, dtype=np.float64)
@@ -239,17 +245,27 @@ def build_distance_field(
     if padding is None:
         padding = trunc
     pad = padding + cell
-    if points.shape[0] == 0:
+    if points.shape[0] == 0 and grid is None:
         return _finish(
             np.full((1, 1, 1), 255, np.uint8), np.zeros(3), cell, trunc,
             weights, False,
         )
 
-    min_p = points.min(axis=0) - pad
-    max_p = points.max(axis=0) + pad
-    origin = min_p
-    dims = np.ceil((max_p - origin) / cell).astype(np.int64) + 1
-    nx, ny, nz = (int(d) for d in dims)
+    if grid is not None:
+        origin = np.asarray(grid[0], dtype=np.float64)
+        nx, ny, nz = (int(d) for d in grid[1])
+        dims = np.asarray([nx, ny, nz], np.int64)
+        if points.shape[0] == 0:
+            return _finish(
+                np.full((nx, ny, nz), 255, np.uint8), origin, cell, trunc,
+                weights, False,
+            )
+    else:
+        min_p = points.min(axis=0) - pad
+        max_p = points.max(axis=0) + pad
+        origin = min_p
+        dims = np.ceil((max_p - origin) / cell).astype(np.int64) + 1
+        nx, ny, nz = (int(d) for d in dims)
 
     from mcl_3dl_tpu.map.native import build_distance_field_native
 

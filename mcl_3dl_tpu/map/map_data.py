@@ -74,9 +74,12 @@ class MapData:
         if visible.all():
             df_beam = df
         else:
+            # Same grid as df so one pose-grouped particle layout
+            # (ops/grouped.py) serves both measurement kernels.
             df_beam = build_distance_field(
                 points[visible], cell, trunc, params.dist_weight,
                 pack_corners=False,   # raycasts sample nearest-cell only
+                grid=(np.asarray(df.origin, np.float64), df.field.shape),
             )
 
         occ = build_occupancy_grid(points, params.beam.dda_grid_size, labels)

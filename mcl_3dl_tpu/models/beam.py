@@ -317,6 +317,65 @@ def raycast_fixed(
     return found, cpos, sin_ang
 
 
+class BeamVirtualPoints:
+    """Particle-independent probe schedule for the grouped fixed march.
+
+    Every probe position is affine in the particle pose with virtual
+    point ``org_b + dir_b * i*grid`` (rotation preserves ray length, so
+    the schedule is shared by all particles).  ``vpf``/``chainf`` are
+    the [B*nprobe] flattened virtual points / chain-validity used for
+    the group boxes and table extraction."""
+
+    def __init__(self, points, origin_idx, valid, origins, map_grid_min,
+                 hit_range, num_steps):
+        self.nprobe = num_steps + 1                            # i = -1..S-1
+        sensor_org = origins[origin_idx]                       # [B, 3]
+        seg = points - sensor_org
+        self.length = jnp.linalg.norm(seg, axis=-1)            # [B]
+        dirb = seg / jnp.maximum(self.length, 1e-12)[..., None]
+        i_vals = jnp.arange(self.nprobe, dtype=jnp.float32) - 1.0
+        vp = (sensor_org[:, None, :]
+              + dirb[:, None, :] * (i_vals[None, :, None] * map_grid_min))
+        l_b = jnp.floor((self.length + hit_range) / map_grid_min)
+        chain = (i_vals[None, :] < l_b[:, None]) & valid[:, None]
+        self.bb = points.shape[0]
+        self.vpf = vp.reshape(self.bb * self.nprobe, 3)
+        self.chainf = chain.reshape(self.bb * self.nprobe)
+
+
+def _overflow_beam_pen(df_beam, pos, rot, over_idx, points, origin_idx,
+                       valid, origins, *, map_grid_min, map_grid_max,
+                       hit_range, sin_total_ref, long_pen, num_steps):
+    """Exact penalized-beam counts for the envelope-outlier particles:
+    the reference fixed march (``raycast_fixed``) + classification on
+    the [cap, B] subset — the same semantics the grouped kernel
+    computes for in-envelope particles.  Sentinel rows (over_idx == N)
+    clamp-gather garbage; their results are dropped at scatter time."""
+    posc = jnp.take(pos, over_idx, axis=0)                     # [C, 3]
+    rotc = jnp.take(rot, over_idx, axis=0)
+    rmatc = mq.rotation_matrix(mq.normalize(rotc))
+    sensor_org = origins[origin_idx]                           # [B, 3]
+    begins = (
+        jnp.einsum("bj,cij->cbi", sensor_org, rmatc,
+                   preferred_element_type=jnp.float32)
+        + posc[:, None, :]
+    )
+    ends = (
+        jnp.einsum("bj,cij->cbi", points, rmatc,
+                   preferred_element_type=jnp.float32)
+        + posc[:, None, :]
+    )
+    found, cpos, sin_ang = raycast_fixed(
+        df_beam, begins, ends, map_grid_min, map_grid_max, hit_range,
+        num_steps)
+    dist_sq = jnp.sum((ends - cpos) ** 2, axis=-1)
+    graze = found & (sin_ang <= sin_total_ref)
+    short = found & ~graze & (dist_sq >= hit_range * hit_range)
+    long_p = (~found) & long_pen
+    pen = (short | long_p) & valid[None, :]
+    return jnp.sum(pen, axis=-1).astype(jnp.float32)           # [C]
+
+
 def beam_measure_grouped(
     df_beam: DistanceField,
     pos: jnp.ndarray,          # [N, 3]
@@ -336,42 +395,48 @@ def beam_measure_grouped(
     num_steps: int,
     active: jnp.ndarray,
     fallback,
+    grouped=None,
+    rmat: jnp.ndarray | None = None,
+    with_info: bool = False,
 ):
     """Beam likelihood via the grouped fixed-march Pallas kernel.
 
     Semantics = the reference kd-tree raycast + beam classification
     (raycast_using_kdtree.h:58-109, lidar_measurement_model_beam.cpp:
-    124-192) — every probe position is affine in the particle pose with
-    a particle-independent virtual point org_b + dir_b * i*grid (ray
-    length is rotation-invariant), so the whole [particles x beams x
-    probes] march runs on the same yaw-grouped local tables as the
-    likelihood model.  ``fallback() -> likelihood[N]`` is taken (under
-    a lax.cond) when the group boxes don't fit — startup, global
+    124-192) over the same pose-grouped local tables as the likelihood
+    model; envelope-outlier particles are re-scored exactly by
+    ``_overflow_beam_pen``.  ``fallback() -> likelihood[N]`` is taken
+    (under a lax.cond) when the group boxes don't fit — startup, global
     localization, kidnapped spreads.
 
-    Returns ``likelihood [N]``.
+    ``grouped``: optional ``(stats, layout, lo, fits, vp)`` prepared by
+    the engine (one sorted layout shared with the likelihood model —
+    df and df_beam live on the same grid, map/map_data.py).  When
+    omitted, it is built here.
+
+    Returns ``likelihood [N]`` (+ engaged tier with ``with_info``).
     """
-    nprobe = num_steps + 1                                     # i = -1..S-1
-    rmat = mq.rotation_matrix(mq.normalize(rot))
-    sensor_org = origins[origin_idx]                           # [B, 3]
-    seg = points - sensor_org
-    length = jnp.linalg.norm(seg, axis=-1)                     # [B]
-    dirb = seg / jnp.maximum(length, 1e-12)[..., None]
-    i_vals = jnp.arange(nprobe, dtype=jnp.float32) - 1.0       # [nprobe]
-    vp = (sensor_org[:, None, :]
-          + dirb[:, None, :] * (i_vals[None, :, None] * map_grid_min))
-    l_b = jnp.floor((length + hit_range) / map_grid_min)       # [B]
-    chain = (i_vals[None, :] < l_b[:, None]) & valid[:, None]  # [B, nprobe]
-    bb = points.shape[0]
-    kflat = bb * nprobe
-    vpf = vp.reshape(kflat, 3)
-    chainf = chain.reshape(kflat)
+    if grouped is None:
+        if rmat is None:
+            rmat = mq.rotation_matrix(mq.normalize(rot))
+        vp = BeamVirtualPoints(points, origin_idx, valid, origins,
+                               map_grid_min, hit_range, num_steps)
+        cap = og.default_overflow_cap(pos.shape[0])
+        stats = og.group_stats(pos, rmat, rot, df_beam.weights,
+                               float(df_beam.cell), df_beam.origin, active)
+        lo, fits_kg = og.group_boxes(stats, vp.vpf, df_beam.field.shape)
+        fits = (jnp.all(fits_kg | ~vp.chainf[:, None])
+                & (stats.n_over <= cap))
+        layout = jax.lax.cond(
+            fits,
+            lambda: og.build_layout(stats, cap),
+            lambda: og.empty_layout(pos.shape[0], cap),
+        )
+    else:
+        stats, layout, lo, fits, vp = grouped
 
-    gp = og.build_groups(pos, rmat, rot, df_beam.weights,
-                         float(df_beam.cell), df_beam.origin, active)
-    lo, fits_kg = og.group_boxes(gp, vpf)
-    fits = jnp.all(fits_kg | ~chainf[:, None])
-
+    nprobe = vp.nprobe
+    bb = vp.bb
     radius = float(2.0**0.5) * map_grid_max / 2.0
     per_beam = beam_likelihood_min ** (1.0 / float(num_points_default))
     has_points = jnp.sum(valid) > 0
@@ -379,19 +444,14 @@ def beam_measure_grouped(
     def fast(_):
         nzp = df_beam.field2d.shape[1]
         tables, z_used = og.extract_tables(
-            df_beam.field2d, df_beam.field.shape[1], nzp, lo, chainf,
+            df_beam.field2d, df_beam.field.shape[1], nzp, lo, vp.chainf,
             float(df_beam.trunc))
-        meta = jnp.concatenate(
-            [lo[..., :2], z_used[..., None],
-             jnp.zeros(z_used.shape + (1,), jnp.int32)], axis=-1)
-        pts_fp = jnp.round(vpf * 65536.0).astype(jnp.int32)
-        pts_fp = jnp.concatenate(
-            [pts_fp, jnp.zeros((kflat, 1), jnp.int32)], axis=-1)
         aux = jnp.stack(
-            [jnp.round(length * 65536.0).astype(jnp.int32),
+            [jnp.round(vp.length * 65536.0).astype(jnp.int32),
              valid.astype(jnp.int32)], axis=-1)                # [B, 2]
         npen_sorted = og.grouped_beam_pen(
-            gp.A, gp.tile_group, meta, pts_fp, aux,
+            layout.A, layout.tile_group, og.make_meta(lo, z_used),
+            og.points_fp(vp.vpf), aux,
             tables.reshape(bb, nprobe, og.G_GROUPS, og.R_ROWS, og.ZW),
             nprobe=nprobe, trunc=float(df_beam.trunc),
             grid_min=float(map_grid_min), radius=radius,
@@ -399,11 +459,20 @@ def beam_measure_grouped(
             long_pen=not add_penalty_short_only_mode,
             tol=float(hit_range),
         )
-        n_pen = jnp.take(npen_sorted, gp.dest)
+        n_pen = jnp.take(npen_sorted, layout.dest)
+        n_pen_of = _overflow_beam_pen(
+            df_beam, pos, rot, layout.over_idx, points, origin_idx, valid,
+            origins, map_grid_min=map_grid_min, map_grid_max=map_grid_max,
+            hit_range=hit_range, sin_total_ref=sin_total_ref,
+            long_pen=not add_penalty_short_only_mode, num_steps=num_steps)
+        n_pen = n_pen.at[layout.over_idx].set(n_pen_of)
         score = jnp.maximum(per_beam**n_pen, beam_likelihood_min)
         return jnp.where(has_points, score, 1.0)
 
-    return jax.lax.cond(fits, fast, lambda _: fallback(), None)
+    lik = jax.lax.cond(fits, fast, lambda _: fallback(), None)
+    if with_info:
+        return lik, jnp.where(fits, jnp.int32(0), jnp.int32(2))
+    return lik
 
 
 def beam_measure(

@@ -14,17 +14,18 @@ Score per particle (lidar_measurement_model_likelihood.cpp:124-135):
         score += match_weight * (match_dist_min - max(d, match_dist_flat))
     quality = matched / num_points
 
-Two device paths for nearest-cell sampling:
+Three device paths for nearest-cell sampling, fastest first, each
+engaging behind a ``lax.cond`` so only the taken tier executes:
 
-* XLA gather (robust, any particle spread) — ~117M lookups/s on v5e.
-* **Local-table Pallas kernel** (``local_kernel=True``): for each scan
-  point, all particle-transformed copies land in a small cell box once
-  the filter has converged; a per-point local table is extracted with
-  cheap XLA gathers and ``ops.local_score`` evaluates the full
-  ``[points, particles]`` grid at VPU gather rate (~2.5G lookups/s,
-  tools/exp_gather.py).  A ``lax.cond`` falls back to the XLA path
-  whenever the spread exceeds the box (startup, global localization,
-  expansion resets).
+1. **pose-grouped local tables** (ops/grouped.py) — converged-tracking
+   spreads at any particle count; envelope-outlier particles are
+   re-scored exactly by a small gather path, so results stay bit-equal
+   to the XLA path.
+2. **per-point global box** (ops/local_gather.py) — tight clusters.
+3. **XLA gather** — any spread (startup, global localization).
+
+Tier 2 and 3 share one [K, N, 3] transform + quantization (computed
+inside their common fallback branch, never on the grouped tier).
 """
 
 from __future__ import annotations
@@ -34,16 +35,18 @@ import jax.numpy as jnp
 
 from mcl_3dl_tpu.map.distance_field import DistanceField
 from mcl_3dl_tpu.math import quat as mq
-from mcl_3dl_tpu.ops.grouped import TILE as _GTILE
-from mcl_3dl_tpu.ops.grouped import grouped_prepare, grouped_score
+from mcl_3dl_tpu.ops import grouped as og
 from mcl_3dl_tpu.ops.local_gather import local_score
 
 # Local box, in (weighted-space) distance-field cells.  32x32x16 at the
 # default 0.1 m grid = 3.2 x 3.2 x 1.6 m of per-point particle spread —
-# comfortably above converged-tracking spread (including the lever-arm
-# smear of far points under residual yaw uncertainty), far below
-# global-localization spread.
+# comfortably above tight-cluster spread, far below global-localization
+# spread.
 _BOX = (32, 32, 16)
+
+TIER_GROUPED = 0
+TIER_BOX = 1
+TIER_XLA = 2
 
 
 def clip_mask(points, clip_near, clip_far, clip_z_min, clip_z_max):
@@ -66,6 +69,53 @@ def _finalize(score, mcount, valid):
     return likelihood, quality
 
 
+def _score_from_dist(d, valid_k, match_dist_min, match_dist_flat,
+                     match_weight, axis):
+    """The reference's clamp+sum reduction over the points axis."""
+    matched = (d <= match_dist_min) & valid_k
+    contrib = match_weight * (
+        match_dist_min - jnp.maximum(d, match_dist_flat))
+    contrib = jnp.maximum(contrib, 0.0)                # "if dist<0 continue"
+    score = jnp.sum(jnp.where(matched, contrib, 0.0), axis=axis)
+    return score, jnp.sum(matched, axis=axis).astype(jnp.float32)
+
+
+def grouped_like_apply(df, stats, layout, lo, points, valid, *,
+                       match_dist_min, match_dist_flat, match_weight):
+    """Run the grouped Pallas scoring kernel + exact overflow rescore.
+
+    Only call under the engaged ``fits`` branch; results are then
+    bit-equal to the XLA nearest-cell path for EVERY particle —
+    in-envelope particles via the kernel, envelope outliers via
+    ``overflow_*`` exact gathers scattered over the kernel output.
+    """
+    ny = df.field.shape[1]
+    nzp = df.field2d.shape[1]
+    trunc = float(df.trunc)
+    tables, z_used = og.extract_tables(df.field2d, ny, nzp, lo, valid, trunc)
+    s_sorted, m_sorted = og.grouped_like_score(
+        layout.A, layout.tile_group, og.make_meta(lo, z_used),
+        og.points_fp(points), tables,
+        match_dist_min=float(match_dist_min),
+        match_dist_flat=float(match_dist_flat),
+        match_weight=float(match_weight),
+        trunc=trunc,
+    )
+    score = jnp.take(s_sorted, layout.dest)
+    mcount = jnp.take(m_sorted, layout.dest)
+
+    # exact rescore of the envelope outliers (sentinel rows scatter-drop)
+    q_of = og.overflow_transform(stats.A, layout.over_idx, points)
+    code = og.overflow_field_lookup(df.field, q_of)              # [C, K]
+    d_of = code.astype(jnp.float32) * jnp.float32(trunc / 255.0)
+    s_of, m_of = _score_from_dist(
+        d_of, valid[None, :], match_dist_min, match_dist_flat,
+        match_weight, axis=1)
+    score = score.at[layout.over_idx].set(s_of)
+    mcount = mcount.at[layout.over_idx].set(m_of)
+    return score, mcount
+
+
 def likelihood_measure(
     df: DistanceField,
     pos: jnp.ndarray,          # [N, 3] particle positions
@@ -78,25 +128,25 @@ def likelihood_measure(
     trilinear: bool = True,
     local_kernel: bool = False,
     active: jnp.ndarray | None = None,
+    rmat: jnp.ndarray | None = None,
+    grouped=None,
+    with_info: bool = False,
 ):
-    """Returns ``(likelihood[N], quality[N])``.
+    """Returns ``(likelihood[N], quality[N])`` (+ the engaged tier id
+    with ``with_info=True``).
 
     ``trilinear=False`` uses nearest-cell sampling (1 gather per query
     instead of 8) — the engine switches to it during global localization
     where particle counts are ~100k-1M and half-cell quantization is far
     below the pose uncertainty.
 
+    ``grouped``: optional ``(stats, layout, lo, fits)`` prepared by the
+    caller (the engine shares ONE sorted layout between this model and
+    the beam model).  When omitted but eligible, it is built here.
+
     ``active`` masks trailing inactive capacity slots (stale poses) out
-    of the yaw-grouped fast path's interval bounds; their own scores are
+    of the grouped fast path's bin envelopes; their own scores are
     still produced (harmlessly — out-of-box queries read ``trunc``).
-
-    With ``local_kernel=True`` and nearest sampling, three device paths
-    are tried in order of speed (each guarded by a lax.cond):
-
-    1. **yaw-grouped local tables** (ops/grouped.py) — engages at any
-       converged-tracking spread, the 1M-particle steady state included;
-    2. **per-point global box** (ops/local_gather.py) — tight clusters;
-    3. **XLA gather** — any spread (startup, global localization).
     """
     N = pos.shape[0]
     use_local = (
@@ -106,7 +156,8 @@ def likelihood_measure(
         and N >= 128
         and float(df.trunc) > float(match_dist_min)
     )
-    rmat = mq.rotation_matrix(mq.normalize(rot))          # [N, 3, 3]
+    if rmat is None:
+        rmat = mq.rotation_matrix(mq.normalize(rot))      # [N, 3, 3]
 
     if not use_local:
         # [N, K, 3] = points @ R^T + pos
@@ -119,12 +170,13 @@ def likelihood_measure(
             d = df.sample_trilinear(transformed)           # [N, K]
         else:
             d = df.sample_nearest(transformed)
-        matched = (d <= match_dist_min) & valid[None, :]
-        contrib = match_weight * (
-            match_dist_min - jnp.maximum(d, match_dist_flat))
-        contrib = jnp.maximum(contrib, 0.0)                # "if dist<0 continue"
-        score = jnp.sum(jnp.where(matched, contrib, 0.0), axis=-1)
-        return _finalize(score, jnp.sum(matched, axis=-1), valid)
+        score, mcount = _score_from_dist(
+            d, valid[None, :], match_dist_min, match_dist_flat,
+            match_weight, axis=-1)
+        lik, qual = _finalize(score, mcount, valid)
+        if with_info:
+            return lik, qual, jnp.int32(TIER_XLA)
+        return lik, qual
 
     # ---- local-table kernel paths ([K, N] layout; no [N,K] transpose) ----
     K = points.shape[0]
@@ -134,35 +186,22 @@ def likelihood_measure(
     dims = jnp.asarray([nx, ny, nz], jnp.int32)
     w = jnp.asarray(df.weights, jnp.float32)
     trunc = float(df.trunc)
+    scale = jnp.float32(trunc / 255.0)
 
-    def _transform_kn():
-        return (
+    def fallback(_):
+        """Tiers 2+3: ONE [K, N, 3] transform + quantization, shared by
+        the per-point box kernel and the plain XLA gather."""
+        transformed = (
             jnp.einsum("kj,nij->kni", points, rmat,
                        preferred_element_type=jnp.float32)
             + pos[None, :, :]
         )                                                  # [K, N, 3]
-
-    def slow(_):
-        dq = df.sample_nearest(_transform_kn())            # [K, N]
-        matched = (dq <= match_dist_min) & valid[:, None]
-        contrib = match_weight * (
-            match_dist_min - jnp.maximum(dq, match_dist_flat))
-        contrib = jnp.maximum(contrib, 0.0)
-        score = jnp.sum(jnp.where(matched, contrib, 0.0), axis=0)
-        return score, jnp.sum(matched, axis=0).astype(jnp.float32)
-
-    def tier_box(_):
-        """Per-point exact global box: all [K, N] queries quantized,
-        per-point min/max; kernel engages only if every point's box
-        fits _BOX.  Exact (not interval-conservative) but pays the
-        [K, N, 3] transform even when it then falls back."""
-        transformed = _transform_kn()
         u = (transformed * w - df.origin) / jnp.float32(df.cell)
         iq = jnp.round(u).astype(jnp.int32)                # [K, N, 3]
         lo = jnp.min(iq, axis=1)                           # [K, 3]
         ext = jnp.max(iq, axis=1) - lo
         boxa = jnp.asarray(_BOX, jnp.int32)
-        fits = jnp.all((ext < boxa) | ~valid[:, None])
+        fits_box = jnp.all((ext < boxa) | ~valid[:, None])
 
         def fast(_):
             offs = jnp.stack(
@@ -174,7 +213,6 @@ def likelihood_measure(
             oob = jnp.any((g < 0) | (g >= dims), axis=-1)
             gc = jnp.clip(g, 0, dims - 1)
             flat = (gc[..., 0] * ny + gc[..., 1]) * nz + gc[..., 2]
-            scale = jnp.float32(trunc / 255.0)
             vals = jnp.take(df.field.reshape(-1), flat,
                             axis=0).astype(jnp.float32) * scale
             vals = jnp.where(oob, trunc, vals)
@@ -193,25 +231,53 @@ def likelihood_measure(
                 trunc=trunc,
             )
 
-        return jax.lax.cond(fits, fast, slow, None)
+        def slow(_):
+            # nearest-cell gather straight from the shared iq
+            # (== df.sample_nearest on the same queries)
+            oob = jnp.any((iq < 0) | (iq >= dims), axis=-1)
+            ic = jnp.clip(iq, 0, dims - 1)
+            flat = (ic[..., 0] * ny + ic[..., 1]) * nz + ic[..., 2]
+            d = jnp.take(df.field.reshape(-1), flat,
+                         axis=0).astype(jnp.float32) * scale
+            d = jnp.where(oob, trunc, d)                   # [K, N]
+            return _score_from_dist(
+                d, valid[:, None], match_dist_min, match_dist_flat,
+                match_weight, axis=0)
 
-    # Tier 1: yaw-grouped local tables.  grouped_prepare is O(N) row ops
-    # (no [K, N] tensor), so when its interval boxes fit — the converged
-    # steady state at any particle count — the step never materializes
-    # the [K, N, 3] transform at all.
-    if N % _GTILE == 0 and df.field2d is not None:
+        s, m = jax.lax.cond(fits_box, fast, slow, None)
+        return s, m, jnp.where(fits_box, jnp.int32(TIER_BOX),
+                               jnp.int32(TIER_XLA))
+
+    if grouped is None and N % og.TILE == 0 and df.field2d is not None:
         act = jnp.ones((N,), bool) if active is None else active
-        plan = grouped_prepare(df, pos, rot, rmat, points, valid, act)
+        cap = og.default_overflow_cap(N)
+        stats = og.group_stats(pos, rmat, rot, df.weights, float(df.cell),
+                               df.origin, act)
+        lo, fits_kg = og.group_boxes(stats, points, df.field.shape)
+        fits = jnp.all(fits_kg | ~valid[:, None]) & (stats.n_over <= cap)
+        layout = jax.lax.cond(
+            fits,
+            lambda: og.build_layout(stats, cap),
+            lambda: og.empty_layout(N, cap),
+        )
+        grouped = (stats, layout, lo, fits)
+
+    if grouped is not None:
+        stats, layout, lo, fits = grouped
 
         def grouped_fast(_):
-            return grouped_score(
-                df, plan, points, valid,
-                match_dist_min=float(match_dist_min),
-                match_dist_flat=float(match_dist_flat),
-                match_weight=float(match_weight),
+            s, m = grouped_like_apply(
+                df, stats, layout, lo, points, valid,
+                match_dist_min=match_dist_min,
+                match_dist_flat=match_dist_flat,
+                match_weight=match_weight,
             )
+            return s, m, jnp.int32(TIER_GROUPED)
 
-        score, mcount = jax.lax.cond(plan.fits, grouped_fast, tier_box, None)
+        score, mcount, tier = jax.lax.cond(fits, grouped_fast, fallback, None)
     else:
-        score, mcount = tier_box(None)
-    return _finalize(score, mcount, valid)
+        score, mcount, tier = fallback(None)
+    lik, qual = _finalize(score, mcount, valid)
+    if with_info:
+        return lik, qual, tier
+    return lik, qual

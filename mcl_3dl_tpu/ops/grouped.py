@@ -1,37 +1,56 @@
-"""Yaw-grouped, z-lane local-table scoring — the generalized fast path.
+"""Pose-grouped, z-lane local-table scoring — the generalized fast path.
 
 Why the per-point axis-aligned box (ops/local_gather.py) is not enough:
-measured steady-state tracking (no global localization) has yaw spread
-~0.4 rad and roll/pitch spread ~0.1-0.5 rad; at 6 m point range the
-rotation lever arm smears each scan point's particle-transformed queries
-over metres — and the z axis is 5x worse in the field's weighted space
-(``dist_weight_z``).  An axis-aligned box over ALL particles is huge,
-and Mosaic's only full-2D gather scheme (row loop + lane gather) costs
-O(rows) per query.
+converged tracking (measured at the bench equilibrium: pos sigma ~0.065 m,
+roll/pitch sigma ~0.05 rad, yaw span ~0.4 rad) still smears each scan
+point's particle-transformed queries over metres at 5-10 m range — the
+rotation lever arm — and the z axis is 5x worse in the field's weighted
+space (``dist_weight_z``).  An axis-aligned box over ALL particles is
+huge, and Mosaic's only full-2D gather scheme (row loop + lane gather)
+costs O(rows) per query.
 
 This module fixes both axes structurally:
 
 * **z as lanes**: the distance field is stored z-major, so a 128-lane
   table row is a contiguous z *window* (12.8 weighted units = 2.56 m of
   real z at defaults).  The kernel's lane gather resolves z exactly —
-  z spread costs nothing as long as it fits one window.
-* **yaw grouping**: particles are counting-sorted into ``G`` yaw bins
-  (cheap: one scatter histogram + G masked cumsums + one row scatter,
-  all at XLA row-op rate — no comparison sort).  Within a bin the yaw
-  lever arm collapses, so the per-(point, group) xy box stays ~1 m.
+  z spread costs nothing as long as the *in-map* interval fits one
+  window (out-of-map queries read the truncation value by
+  construction, so intervals are clipped to the map before the fits
+  test).
+* **(yaw x pitch x roll) binning**: particles are counting-sorted into
+  ``G_YAW x G_PITCH x G_ROLL`` pose bins.  Within a bin the yaw lever
+  arm (xy axes) and the pitch/roll lever arms (the 5x-weighted z axis)
+  collapse — roll binning alone cuts steady-state z extents from ~112
+  to ~80 cells (tools/exp_envelope_sweep.py).
+* **envelope bounds + outlier overflow**: per-bin query boxes are
+  interval arithmetic over an mean +/- ``ENV_SIGMA``*std *envelope* of
+  the bin's affine coefficients (clipped to the true min/max), not the
+  raw min/max — so a handful of resample-jitter tail particles cannot
+  blow the box for everyone.  Particles outside their bin's envelope
+  are routed to the last bin and re-scored EXACTLY by a small XLA
+  gather path (``overflow_*``, capacity ``cap`` slots); the fast path
+  stays bit-exact for every particle.
 
 Queries have the affine form ``q = A_n @ p + b_n`` where ``A_n`` is the
 particle's weighted/scaled rotation and ``p`` a *virtual point* — a
 sampled scan point for the likelihood model (p = point_k), or a fixed
 ray-march probe for the beam model (p = origin_b + t_s * dir_b).  The
 same sorted layout and interval-arithmetic group boxes therefore serve
-both measurement models; only the in-kernel reduction differs.
+both measurement models; only the in-kernel reduction differs.  The
+likelihood field ``df`` and the label-filtered beam field ``df_beam``
+are built on the SAME grid (map/map_data.py), so ONE sorted layout per
+step feeds both kernels.
 
 Reference semantics preserved: nearest-cell distance lookup equals
 ``DistanceField.sample_nearest`` (chunked_kdtree.h:217-237 radiusSearch
 replacement) wherever the group boxes fit; a ``fits`` flag lets the
 caller ``lax.cond`` back to the XLA gather path otherwise (startup,
 global localization, kidnapped-robot spreads).
+
+The expensive layout build (counting sort + row scatter) is split from
+the cheap statistics (``group_stats`` — pure reductions) so the caller
+pays for it only under the engaged branch of the ``fits`` cond.
 """
 
 from __future__ import annotations
@@ -44,58 +63,189 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tunables (static): G yaw groups, particle tile (8 sublanes x 128
-# lanes), xy box in weighted-space distance-field cells, z window =
-# one 128-lane row.
-G_GROUPS = 16
+# Tunables (static): G_YAW x G_PITCH x G_ROLL content bins + 1
+# outlier/inactive bin, particle tile (8 sublanes x 128 lanes), xy box
+# in weighted-space distance-field cells, z window = one 128-lane row.
+# Values from the steady-state sweep (tools/exp_envelope_sweep.py,
+# docs/CONVERGE_CPU_16K.json): 12x2x2 bins @ ENV_SIGMA=4.5 give
+# max in-map extents [12, 12, 83] vs the (12, 12, 128) box with ~3.7%
+# envelope outliers; roll binning is what collapses the 5x-weighted z
+# extents (112 -> ~80 cells).
+G_YAW = 12
+G_PITCH = 2
+G_ROLL = 2
+G_SPLIT = G_YAW * G_PITCH * G_ROLL
+G_GROUPS = G_SPLIT + 1         # last bin: envelope outliers + inactive
 TILE = 1024
 BX = 12
 BY = 12
 R_ROWS = BX * BY
 ZW = 128
+ENV_SIGMA_TRIM = 3.5           # pass-1 gross-outlier trim, in per-bin stds
+ENV_SIGMA = 4.5                # pass-2 envelope half-width over inliers
+_ENV_EPS = 1e-3                # absolute slack against float jitter
 
 
-class GroupedParticles(NamedTuple):
-    """Particles counting-sorted into yaw groups, in kernel layout."""
+class GroupStats(NamedTuple):
+    """Cheap per-step grouping statistics (reductions only, no sort)."""
 
-    A: jnp.ndarray           # [nt, 12, 8, 128] f32 — rows 0..8: W@R/cell, 9..11: (pos*w - origin)/cell
+    g: jnp.ndarray           # [N] i32 — final bin (outliers/inactive: last)
+    A: jnp.ndarray           # [N, 12] f32 — rows 0..8: W@R/cell, 9..11: (pos*w - origin)/cell
+    a_min: jnp.ndarray       # [G, 12] f32 — per-bin envelope bounds
+    a_max: jnp.ndarray       # [G, 12] f32
+    any_active: jnp.ndarray  # [G] bool — content bins with members (last: False)
+    n_over: jnp.ndarray      # [] i32 — active particles routed to overflow
+
+
+class GroupedLayout(NamedTuple):
+    """Counting-sorted kernel layout — build only in the engaged branch."""
+
+    A: jnp.ndarray           # [nt, 12, 8, 128] f32 coefficient tiles
     dest: jnp.ndarray        # [N] i32 — sorted slot of original particle i
     tile_group: jnp.ndarray  # [nt] i32
-    a_min: jnp.ndarray       # [G, 12] f32 per-group coefficient bounds
-    a_max: jnp.ndarray       # [G, 12] f32
-    any_active: jnp.ndarray  # [G] bool
+    over_idx: jnp.ndarray    # [cap] i32 — original indices of the overflow
+    #                          bin's leading slots (active outliers first;
+    #                          padding slots hold N = out-of-bounds sentinel,
+    #                          dropped by scatter)
 
 
-def _yaw_from_quat(rot):
+def _ypr_from_quat(rot):
     x, y, z, w = rot[..., 0], rot[..., 1], rot[..., 2], rot[..., 3]
-    return jnp.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+    yaw = jnp.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+    pitch = jnp.arcsin(jnp.clip(2.0 * (w * y - z * x), -1.0, 1.0))
+    roll = jnp.arctan2(2.0 * (w * x + y * z), 1.0 - 2.0 * (x * x + y * y))
+    return yaw, pitch, roll
 
 
-def build_groups(pos, rot_mat, rot, weights3, cell, origin3, active) -> GroupedParticles:
-    """Counting-sort particles into yaw bins and build the affine layout.
+def group_stats(pos, rot_mat, rot, weights3, cell, origin3, active) -> GroupStats:
+    """Bin particles on (yaw, pitch) and bound each bin's coefficients.
 
     ``rot_mat`` is the [N, 3, 3] rotation matrix batch the caller already
     computed for its own transform path (no duplicate quat->matrix work).
-    Inactive particles are placed in the last bin and excluded from the
-    per-group interval bounds (their scores are never read).
+    Cost: O(N * 12) element ops + G_SPLIT masked reductions — no sort, no
+    scatter, no [K, N] tensor.
+
+    Envelope: per-bin ``mean +/- (ENV_SIGMA * std + eps)`` clipped to the
+    bin's true min/max, computed in TWO passes — pass 1 marks gross
+    outliers from the raw moments, pass 2 recomputes mean/std/min/max
+    over pass-1 inliers only, so a handful of far tail particles cannot
+    inflate the std (and thereby the envelope) for the whole bin.
+    Active particles with any coefficient outside the final envelope
+    are *outliers*: they go to the last bin together with inactive
+    slots and must be re-scored by the exact overflow path.
     """
     n = pos.shape[0]
     w = jnp.asarray(weights3, jnp.float32)
     inv_cell = jnp.float32(1.0 / cell)
 
-    yaw = _yaw_from_quat(rot)
+    yaw, pitch, roll = _ypr_from_quat(rot)
     big = jnp.float32(1e9)
     ylo = jnp.min(jnp.where(active, yaw, big))
     yhi = jnp.max(jnp.where(active, yaw, -big))
-    span = jnp.maximum(yhi - ylo, 1e-6)
-    g = jnp.clip(((yaw - ylo) / span * G_GROUPS).astype(jnp.int32), 0, G_GROUPS - 1)
-    g = jnp.where(active, g, G_GROUPS - 1)
+    yspan = jnp.maximum(yhi - ylo, 1e-6)
+    yb = jnp.clip(((yaw - ylo) / yspan * G_YAW).astype(jnp.int32), 0, G_YAW - 1)
+    nact = jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)
+    pmid = jnp.sum(jnp.where(active, pitch, 0.0)) / nact
+    pb = (pitch > pmid).astype(jnp.int32)
+    rmid = jnp.sum(jnp.where(active, roll, 0.0)) / nact
+    rb = (roll > rmid).astype(jnp.int32)
+    g0 = (yb * G_PITCH + pb) * G_ROLL + rb                       # [N] content bin
 
     # A = diag(w) @ R / cell (9), b = (pos * w - origin) / cell (3)
     a9 = (rot_mat * w[:, None]).reshape(n, 9) * inv_cell
     b3 = (pos * w - jnp.asarray(origin3, jnp.float32)) * inv_cell
     A = jnp.concatenate([a9, b3], axis=-1)                       # [N, 12]
+    # center before the variance pass: b3 is O(map extent / cell) and a
+    # raw sum-of-squares over 1M rows cancels catastrophically in f32
+    a_ctr = jnp.sum(jnp.where(active[:, None], A, 0.0), axis=0) / nact
+    Ac = A - a_ctr
 
+    def _envelope(m, sigma):
+        """mean +/- sigma*std envelope of Ac rows selected by ``m``,
+        clipped to their true min/max."""
+        mf = m[:, None]
+        cnt = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+        mean = jnp.sum(jnp.where(mf, Ac, 0.0), axis=0) / cnt
+        var = jnp.sum(jnp.where(mf, (Ac - mean) ** 2, 0.0), axis=0) / cnt
+        half = sigma * jnp.sqrt(var) + _ENV_EPS
+        gmin = jnp.min(jnp.where(mf, Ac, big), axis=0)
+        gmax = jnp.max(jnp.where(mf, Ac, -big), axis=0)
+        return jnp.maximum(mean - half, gmin), jnp.minimum(mean + half, gmax)
+
+    mins, maxs, anys = [], [], []
+    outlier = jnp.zeros((n,), bool)
+    for gg in range(G_SPLIT):
+        m = (g0 == gg) & active
+        lo1, hi1 = _envelope(m, ENV_SIGMA_TRIM)
+        inl = m & jnp.all((Ac >= lo1) & (Ac <= hi1), axis=-1)
+        env_lo, env_hi = _envelope(inl, ENV_SIGMA)
+        outlier |= m & jnp.any((Ac < env_lo) | (Ac > env_hi), axis=-1)
+        mins.append(env_lo + a_ctr)
+        maxs.append(env_hi + a_ctr)
+        anys.append(jnp.any(m))
+    # outlier/inactive bin: bounds never used (any_active False => its
+    # boxes are excluded from `fits` and its table windows are clipped)
+    mins.append(jnp.zeros((12,), jnp.float32))
+    maxs.append(jnp.zeros((12,), jnp.float32))
+    anys.append(jnp.zeros((), bool))
+
+    g = jnp.where(active & ~outlier, g0, G_GROUPS - 1).astype(jnp.int32)
+    return GroupStats(
+        g=g, A=A,
+        a_min=jnp.stack(mins), a_max=jnp.stack(maxs),
+        any_active=jnp.stack(anys),
+        n_over=jnp.sum((outlier & active).astype(jnp.int32)),
+    )
+
+
+def group_boxes(stats: GroupStats, pts, dims3):
+    """Interval-arithmetic query bounds per (virtual point, bin), clipped
+    to the map.
+
+    ``pts`` [K, 3]: virtual points in base_link frame.  ``dims3``:
+    static field dims (nx, ny, nz).  Returns ``lo [K, G, 3] i32`` (table
+    window origin, clipped to [0, dim - box]) and ``fits [K, G]`` —
+    whether the *in-map part* of the conservative interval fits
+    (BX, BY, ZW).  Queries outside the map read the truncation distance
+    in-kernel (inbox mask) exactly like ``sample_nearest``, so only the
+    in-map extent constrains the window.  Empty bins trivially fit.
+    """
+    p = pts.astype(jnp.float32)                                  # [K, 3]
+    box = (BX, BY, ZW)
+    lo_cols, fits = [], jnp.ones((pts.shape[0], G_GROUPS), bool)
+    for i in range(3):
+        lo_i = stats.a_min[:, 9 + i][None, :]
+        hi_i = stats.a_max[:, 9 + i][None, :]
+        for j in range(3):
+            amin = stats.a_min[:, 3 * i + j][None, :]            # [1, G]
+            amax = stats.a_max[:, 3 * i + j][None, :]
+            pj = p[:, j][:, None]                                # [K, 1]
+            lo_i = lo_i + jnp.minimum(amin * pj, amax * pj)
+            hi_i = hi_i + jnp.maximum(amin * pj, amax * pj)
+        lo_q = jnp.floor(lo_i).astype(jnp.int32)
+        hi_q = jnp.ceil(hi_i).astype(jnp.int32)
+        # in-map part only: out-of-map queries read trunc regardless
+        lo_in = jnp.maximum(lo_q, 0)
+        hi_in = jnp.minimum(hi_q, dims3[i] - 1)
+        fits &= (hi_in - lo_in + 1) <= box[i]
+        lo_cols.append(jnp.clip(lo_in, 0, max(dims3[i] - box[i], 0)))
+    lo = jnp.stack(lo_cols, axis=-1)
+    return lo, fits | ~stats.any_active[None, :]
+
+
+def build_layout(stats: GroupStats, cap: int) -> GroupedLayout:
+    """Counting-sort into the kernel tile layout (the expensive half:
+    per-bin rank cumsums + one row scatter).  Call only under the
+    engaged branch of the caller's ``fits`` lax.cond.
+
+    ``cap`` (static): overflow slots exposed via ``over_idx``.  Within
+    the last bin, rank order equals original index order, and active
+    particles are a prefix of the state arrays — so active outliers
+    occupy the bin's leading slots, followed by inactive slots (whose
+    scores are never read), then ``N`` sentinels (dropped on scatter).
+    """
+    g = stats.g
+    n = g.shape[0]
     counts = jnp.zeros((G_GROUPS,), jnp.int32).at[g].add(1)
     counts_p = ((counts + TILE - 1) // TILE) * TILE
     starts_p = jnp.concatenate(
@@ -109,7 +259,7 @@ def build_groups(pos, rot_mat, rot, weights3, cell, origin3, active) -> GroupedP
 
     n_pad = n + G_GROUPS * TILE
     nt = n_pad // TILE
-    a_sorted = jnp.zeros((n_pad, 12), jnp.float32).at[dest].set(A)
+    a_sorted = jnp.zeros((n_pad, 12), jnp.float32).at[dest].set(stats.A)
     a_tiles = a_sorted.reshape(nt, 8, 128, 12).transpose(0, 3, 1, 2)
 
     ends_p = jnp.cumsum(counts_p)
@@ -118,55 +268,77 @@ def build_groups(pos, rot_mat, rot, weights3, cell, origin3, active) -> GroupedP
         jnp.searchsorted(ends_p, tile_starts, side="right"), 0, G_GROUPS - 1
     ).astype(jnp.int32)
 
-    mins, maxs, anys = [], [], []
-    for gg in range(G_GROUPS):
-        m = ((g == gg) & active)[:, None]
-        mins.append(jnp.min(jnp.where(m, A, big), axis=0))
-        maxs.append(jnp.max(jnp.where(m, A, -big), axis=0))
-        anys.append(jnp.any(m))
-    return GroupedParticles(
-        A=a_tiles, dest=dest, tile_group=tile_group,
-        a_min=jnp.stack(mins), a_max=jnp.stack(maxs),
-        any_active=jnp.stack(anys),
+    src = jnp.full((n_pad,), n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32))
+    over_idx = jax.lax.dynamic_slice(src, (starts_p[G_GROUPS - 1],), (cap,))
+    return GroupedLayout(A=a_tiles, dest=dest, tile_group=tile_group,
+                         over_idx=over_idx)
+
+
+def empty_layout(n: int, cap: int) -> GroupedLayout:
+    """Shape-matched zero layout for the untaken branch of the build
+    cond (sentinel over_idx = n drops every overflow scatter)."""
+    n_pad = n + G_GROUPS * TILE
+    nt = n_pad // TILE
+    return GroupedLayout(
+        A=jnp.zeros((nt, 12, 8, 128), jnp.float32),
+        dest=jnp.zeros((n,), jnp.int32),
+        tile_group=jnp.zeros((nt,), jnp.int32),
+        over_idx=jnp.full((cap,), n, jnp.int32),
     )
 
 
-def group_boxes(gp: GroupedParticles, pts, offset=(0.0, 0.0, 0.0)):
-    """Interval-arithmetic query bounds per (virtual point, group).
+def overflow_transform(A, over_idx, pts):
+    """Exact cell-space queries for the overflow particles:
+    ``q = A @ p + b`` -> [cap, K, 3].  Sentinel rows (over_idx == N)
+    clamp-gather garbage; their results are dropped at scatter time."""
+    rows = jnp.take(A, over_idx, axis=0)                         # [C, 12]
+    rm = rows[:, :9].reshape(-1, 3, 3)
+    return (
+        jnp.einsum("kj,cij->cki", pts.astype(jnp.float32), rm,
+                   preferred_element_type=jnp.float32)
+        + rows[:, None, 9:]
+    )
 
-    ``pts`` [K, 3]: virtual points in base_link frame.  Returns
-    ``lo [K, G, 3] i32`` (window origin; z clipped later by the
-    extractor) and ``fits [K, G]`` — whether the conservative extent
-    fits (BX, BY, ZW).  Empty groups trivially fit.
 
-    ``offset`` (cells): constant shift applied to the query bounds —
-    used when the lookup field's origin differs from the one
-    ``build_groups`` encoded (df vs the label-filtered df_beam share
-    cell/weights, so the frames differ by a constant).
+def overflow_field_lookup(field, q):
+    """Nearest-cell distance codes at cell-space queries ``q`` [..., 3]
+    from the u8 field [nx, ny, nz]; out-of-map reads 255 (= trunc).
+    Bit-equal to ``DistanceField.sample_nearest`` on the same query."""
+    nx, ny, nz = field.shape
+    iq = jnp.round(q).astype(jnp.int32)
+    dims = jnp.asarray([nx, ny, nz], jnp.int32)
+    oob = jnp.any((iq < 0) | (iq >= dims), axis=-1)
+    ic = jnp.clip(iq, 0, dims - 1)
+    flat = (ic[..., 0] * ny + ic[..., 1]) * nz + ic[..., 2]
+    code = jnp.take(field.reshape(-1), flat, axis=0)
+    return jnp.where(oob, jnp.uint8(255), code)
+
+
+def _affine_query(a, px, py, pz, lox, loy, zlo):
+    """In-kernel query: relative cell coords of A @ p + b.
+
+    ``a`` is the [12, 8, 128] coefficient block — everything stays in
+    the compact (8, 128) vreg layout (a [TILE, 1]-oriented variant pads
+    every elementwise op to 128 lanes and measured 128x slot waste).
+    Returns [8, 128] row / lane indices + in-box mask.
     """
-    p = pts.astype(jnp.float32)                                  # [K, 3]
-    lo_f = jnp.zeros((pts.shape[0], G_GROUPS, 3), jnp.float32)
-    hi_f = jnp.zeros_like(lo_f)
-    for i in range(3):
-        lo_i = gp.a_min[:, 9 + i][None, :] + jnp.float32(offset[i])
-        hi_i = gp.a_max[:, 9 + i][None, :] + jnp.float32(offset[i])
-        for j in range(3):
-            amin = gp.a_min[:, 3 * i + j][None, :]               # [1, G]
-            amax = gp.a_max[:, 3 * i + j][None, :]
-            pj = p[:, j][:, None]                                # [K, 1]
-            lo_i = lo_i + jnp.minimum(amin * pj, amax * pj)
-            hi_i = hi_i + jnp.maximum(amin * pj, amax * pj)
-        lo_f = lo_f.at[..., i].set(lo_i)
-        hi_f = hi_f.at[..., i].set(hi_i)
-    lo = jnp.floor(lo_f).astype(jnp.int32)
-    ext = jnp.ceil(hi_f).astype(jnp.int32) - lo + 1
-    box = jnp.asarray([BX, BY, ZW], jnp.int32)
-    fits = jnp.all(ext <= box, axis=-1) | ~gp.any_active[None, :]
-    return lo, fits
+    ux = a[0] * px + a[1] * py + a[2] * pz + a[9]
+    uy = a[3] * px + a[4] * py + a[5] * pz + a[10]
+    uz = a[6] * px + a[7] * py + a[8] * pz + a[11]
+    ix = jnp.round(ux).astype(jnp.int32) - lox
+    iy = jnp.round(uy).astype(jnp.int32) - loy
+    iz = jnp.round(uz).astype(jnp.int32) - zlo
+    inbox = (
+        (ix >= 0) & (ix < BX) & (iy >= 0) & (iy < BY) & (iz >= 0) & (iz < ZW)
+    )
+    row = jnp.clip(ix * BY + iy, 0, R_ROWS - 1)
+    lane = jnp.clip(iz, 0, ZW - 1)
+    return row, lane, inbox
 
 
 def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
-    """Gather per-(virtual point, group) local tables from the z-major
+    """Gather per-(virtual point, bin) local tables from the z-major
     field.
 
     ``field2d`` [nx*ny, nzp] u8 (z padded to >= 128 with 255 = trunc).
@@ -204,28 +376,6 @@ def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
     codes = jnp.where(row_ok.reshape(kk, gg, R_ROWS)[..., None], codes, full)
     codes = jnp.where(point_valid[:, None, None, None], codes, full)
     return codes, z_used
-
-
-def _affine_query(a, px, py, pz, lox, loy, zlo):
-    """In-kernel query: relative cell coords of A @ p + b.
-
-    ``a`` is the [12, 8, 128] coefficient block — everything stays in
-    the compact (8, 128) vreg layout (a [TILE, 1]-oriented variant pads
-    every elementwise op to 128 lanes and measured 128x slot waste).
-    Returns [8, 128] row / lane indices + in-box mask.
-    """
-    ux = a[0] * px + a[1] * py + a[2] * pz + a[9]
-    uy = a[3] * px + a[4] * py + a[5] * pz + a[10]
-    uz = a[6] * px + a[7] * py + a[8] * pz + a[11]
-    ix = jnp.round(ux).astype(jnp.int32) - lox
-    iy = jnp.round(uy).astype(jnp.int32) - loy
-    iz = jnp.round(uz).astype(jnp.int32) - zlo
-    inbox = (
-        (ix >= 0) & (ix < BX) & (iy >= 0) & (iy < BY) & (iz >= 0) & (iz < ZW)
-    )
-    row = jnp.clip(ix * BY + iy, 0, R_ROWS - 1)
-    lane = jnp.clip(iz, 0, ZW - 1)
-    return row, lane, inbox
 
 
 def _row_select(read_block, row, lane, fill):
@@ -310,7 +460,7 @@ def grouped_like_score(
     """Likelihood-field scoring over the sorted layout.
 
     Returns ``(score [nt*TILE], match_count [nt*TILE])`` in SORTED
-    slot order; the caller gathers back with ``GroupedParticles.dest``.
+    slot order; the caller gathers back with ``GroupedLayout.dest``.
     Scoring semantics match lidar_measurement_model_likelihood.cpp:124-135
     (flat-floor clamp, matched mask, per-particle sum + match count).
 
@@ -318,7 +468,7 @@ def grouped_like_score(
     grid of (nt, K) programs measured 13x slower (1.33 s vs ~0.1 s for
     1M x 96) purely from per-program dispatch/DMA overhead, and the
     tile's full [K, 1, R, ZW] table block (~3.5 MB bf16 at K=96)
-    re-DMAs only when the tile's yaw group changes.
+    re-DMAs only when the tile's bin changes.
     """
     nt = gp_A.shape[0]
     kk = tables.shape[0]
@@ -522,54 +672,32 @@ def grouped_beam_pen(
 
 
 # ---------------------------------------------------------------------------
-# Orchestration: the caller-facing two-phase API used by
-# models/likelihood.py.  Phase 1 (prepare) is cheap — counting sort +
-# interval boxes, O(N*12 + K*G) row ops, no [K, N] tensor — so the
-# caller can test ``fits`` BEFORE paying for table extraction, and keep
-# the whole extraction+kernel inside the taken branch of a lax.cond.
+# Orchestration helpers shared by models/likelihood.py and models/beam.py.
+# Phase 1 (group_stats + group_boxes) is cheap — reductions + interval
+# boxes, O(N*12 + K*G) element ops, no sort, no [K, N] tensor — so the
+# caller tests ``fits`` BEFORE paying for the layout build, the table
+# extraction, and the kernel, all of which live inside the taken branch
+# of a lax.cond.
 # ---------------------------------------------------------------------------
 
 
-class GroupedPlan(NamedTuple):
-    gp: GroupedParticles
-    lo: jnp.ndarray        # [K, G, 3] i32 window origins
-    fits: jnp.ndarray      # [] bool — every (valid point, group) box fits
+def default_overflow_cap(n: int) -> int:
+    """Static overflow capacity: the measured steady-state outlier
+    fraction is ~3.7% of N (resample-jitter tails are much heavier than
+    Gaussian; tools/exp_envelope_sweep.py), so expose 6.25% — the exact
+    rescore costs ~cap*K gathers, a few percent of the XLA slow path."""
+    return max(TILE, n >> 4)
 
 
-def grouped_prepare(df, pos, rot, rot_mat, points, valid, active) -> GroupedPlan:
-    """Counting-sort the particles and bound every (point, group) query
-    box.  ``df`` is a map.distance_field.DistanceField with ``field2d``;
-    ``rot_mat`` the [N, 3, 3] matrices the caller already has."""
-    gp = build_groups(pos, rot_mat, rot, df.weights, float(df.cell),
-                      df.origin, active)
-    lo, fits_kg = group_boxes(gp, points)
-    fits = jnp.all(fits_kg | ~valid[:, None])
-    return GroupedPlan(gp=gp, lo=lo, fits=fits)
+def make_meta(lo, z_used):
+    """Pack window origins for the kernels' scalar prefetch."""
+    return jnp.concatenate(
+        [lo[..., :2], z_used[..., None],
+         jnp.zeros(z_used.shape + (1,), jnp.int32)], axis=-1)
 
 
-def grouped_score(df, plan: GroupedPlan, points, valid, *,
-                  match_dist_min, match_dist_flat, match_weight):
-    """Extract local tables and run the grouped scoring kernel.
-
-    Returns ``(score [N], match_count [N])`` in ORIGINAL particle order.
-    Only call under ``plan.fits`` (lax.cond); semantics then equal the
-    XLA nearest-cell path (lidar_measurement_model_likelihood.cpp:124-135).
-    """
-    nx, ny, nz = df.field.shape
-    nzp = df.field2d.shape[1]
-    tables, z_used = extract_tables(
-        df.field2d, ny, nzp, plan.lo, valid, float(df.trunc))
-    meta = jnp.concatenate(
-        [plan.lo[..., :2], z_used[..., None],
-         jnp.zeros(z_used.shape + (1,), jnp.int32)], axis=-1)      # [K, G, 4]
-    pts_fp = jnp.round(points.astype(jnp.float32) * 65536.0).astype(jnp.int32)
-    pts_fp = jnp.concatenate(
-        [pts_fp, jnp.zeros((points.shape[0], 1), jnp.int32)], axis=-1)
-    s_sorted, m_sorted = grouped_like_score(
-        plan.gp.A, plan.gp.tile_group, meta, pts_fp, tables,
-        match_dist_min=float(match_dist_min),
-        match_dist_flat=float(match_dist_flat),
-        match_weight=float(match_weight),
-        trunc=float(df.trunc),
-    )
-    return jnp.take(s_sorted, plan.gp.dest), jnp.take(m_sorted, plan.gp.dest)
+def points_fp(pts):
+    """Virtual points in the kernels' 2^16 fixed-point encoding."""
+    fp = jnp.round(pts.astype(jnp.float32) * 65536.0).astype(jnp.int32)
+    return jnp.concatenate(
+        [fp, jnp.zeros((pts.shape[0], 1), jnp.int32)], axis=-1)

@@ -251,9 +251,13 @@ def test_likelihood_grouped_kernel_matches_xla_path():
     rmat = mq.rotation_matrix(mq.normalize(rot))
 
     # regime check: grouped fits, the per-point exact box does not
-    plan = og.grouped_prepare(df, pos, rot, rmat,
-                              jnp.asarray(scan, jnp.float32), valid, active)
-    assert bool(plan.fits)
+    cap = og.default_overflow_cap(N)
+    stats = og.group_stats(pos, rmat, rot, df.weights, float(df.cell),
+                           df.origin, active)
+    lo, fits_kg = og.group_boxes(stats, jnp.asarray(scan, jnp.float32),
+                                 df.field.shape)
+    fits = jnp.all(fits_kg | ~valid[:, None]) & (stats.n_over <= cap)
+    assert bool(fits)
     transformed = (
         jnp.einsum("kj,nij->kni", jnp.asarray(scan, jnp.float32), rmat)
         + pos[None, :, :]
@@ -290,6 +294,61 @@ def test_likelihood_grouped_kernel_matches_xla_path():
         *args_w, trilinear=False, local_kernel=True, active=active)
     np.testing.assert_allclose(np.asarray(lik_g2), np.asarray(lik_ref2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_likelihood_grouped_envelope_outliers_exact():
+    """A few resample-jitter tail particles far outside the cluster must
+    not blow the bin envelopes (fits stays true) and must still be
+    scored exactly via the overflow rescore path (ops/grouped.py
+    overflow_*) — results bit-equal to the XLA path for EVERY particle."""
+    from mcl_3dl_tpu.ops import grouped as og
+
+    rng = np.random.default_rng(11)
+    wall = _wall_points()
+    df = build_distance_field(wall, 0.1, 0.6, weights=(1.0, 1.0, 0.5))
+    scan = _wall_points(x=2.0, half=2.0, grid=0.5)[:16]
+    K = len(scan)
+    N = og.TILE
+    pos_np = np.array([0.1, -0.05, 0.0]) + rng.normal(0, 0.02, (N, 3))
+    # 8 far outliers: metres away, way beyond any per-bin box
+    out_idx = rng.choice(N, 8, replace=False)
+    pos_np[out_idx] += rng.uniform(-2.5, 2.5, (8, 3))
+    pos = jnp.asarray(pos_np, jnp.float32)
+    rpy = np.stack([
+        rng.normal(0, 0.01, N), rng.normal(0, 0.01, N),
+        rng.uniform(-0.5, 0.5, N),
+    ], axis=1)
+    rot = jnp.asarray(
+        np.stack([np.asarray(mq.from_rpy(jnp.asarray(r))) for r in rpy]),
+        jnp.float32,
+    )
+    valid = jnp.ones(K, bool)
+    active = jnp.ones(N, bool)
+    rmat = mq.rotation_matrix(mq.normalize(rot))
+
+    cap = og.default_overflow_cap(N)
+    stats = og.group_stats(pos, rmat, rot, df.weights, float(df.cell),
+                           df.origin, active)
+    lo, fits_kg = og.group_boxes(stats, jnp.asarray(scan, jnp.float32),
+                                 df.field.shape)
+    n_over = int(np.asarray(stats.n_over))
+    assert 1 <= n_over <= cap          # outliers detected, within capacity
+    assert bool(jnp.all(fits_kg | ~valid[:, None]))  # envelopes still fit
+    # every injected outlier was routed to the overflow bin
+    g_np = np.asarray(stats.g)
+    assert (g_np[out_idx] == og.G_GROUPS - 1).all()
+
+    args = (df, pos, rot, jnp.asarray(scan, jnp.float32), valid,
+            0.2, 0.05, 5.0)
+    lik_ref, qual_ref = likelihood_measure(*args, trilinear=False)
+    lik_g, qual_g, tier = likelihood_measure(
+        *args, trilinear=False, local_kernel=True, active=active,
+        with_info=True)
+    assert int(np.asarray(tier)) == 0   # the grouped tier engaged
+    np.testing.assert_allclose(np.asarray(lik_g), np.asarray(lik_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qual_g), np.asarray(qual_ref),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_likelihood_empty_cloud():

@@ -76,9 +76,13 @@ def main():
           f"({'OK' if err < 1e-4 else 'FAIL'})", file=sys.stderr)
     # confirm the grouped tier actually fired (fits must be true)
     rmat = mq.rotation_matrix(mq.normalize(rotd))
-    plan = og.grouped_prepare(df, posd, rotd, rmat, scand, valid,
-                              jnp.ones(2048, bool))
-    print(f"stage1 grouped fits: {bool(plan.fits)}", file=sys.stderr)
+    active = jnp.ones(2048, bool)
+    stats = og.group_stats(posd, rmat, rotd, df.weights, float(df.cell),
+                           df.origin, active)
+    _, fits_kg = og.group_boxes(stats, scand, df.field.shape)
+    fits = bool(jnp.all(fits_kg | ~valid[:, None])
+                & (stats.n_over <= og.default_overflow_cap(2048)))
+    print(f"stage1 grouped fits: {fits}", file=sys.stderr)
 
     if "--skip-big" in sys.argv:
         return

@@ -1,9 +1,9 @@
 """Component timing for the grouped likelihood path on the chip.
 
 Times (value-fetch chained, see bench.py):
-  A. grouped_prepare alone
-  B. grouped_prepare + grouped_score (branch forced, no cond)
-  C. extract_tables alone (prepare recomputed, kernel skipped)
+  A. group_stats + group_boxes alone (the always-paid phase)
+  B. full engaged path: layout + tables + kernel + overflow rescore
+  C. stats + boxes + layout + extract_tables (kernel skipped)
 plus the runtime `fits` value at the stage-2 regime, so we know which
 branch the exp_grouped.py stage-2 cond actually took.
 """
@@ -66,44 +66,55 @@ def main():
         print(f"{name}: {dt*1e3:.1f} ms", file=sys.stderr)
         return dt
 
+    cap = og.default_overflow_cap(n)
+
     def prep(p):
         rmat = mq.rotation_matrix(mq.normalize(rotd))
-        return og.grouped_prepare(df, p, rotd, rmat, scand, valid, active)
+        stats = og.group_stats(p, rmat, rotd, df.weights, float(df.cell),
+                               df.origin, active)
+        lo, fits_kg = og.group_boxes(stats, scand, df.field.shape)
+        fits = (jnp.all(fits_kg | ~valid[:, None])
+                & (stats.n_over <= cap))
+        return stats, lo, fits
 
     # fits at this regime
-    plan0 = prep(posd)
-    print(f"fits at 1M/0.3rad: {bool(plan0.fits)}", file=sys.stderr)
+    _, _, fits0 = prep(posd)
+    print(f"fits at 1M/0.3rad: {bool(fits0)}", file=sys.stderr)
 
-    # A: prepare only (chain through a_min sum)
+    # A: stats + boxes only (the always-paid phase)
     @jax.jit
     def step_a(p):
-        plan = prep(p)
-        return p + (jnp.sum(plan.gp.a_min) * 1e-30)
+        stats, lo, fits = prep(p)
+        return p + (jnp.sum(stats.a_min) * 1e-30)
 
-    timed("A prepare", step_a)
+    timed("A stats+boxes", step_a)
 
-    # B: prepare + score, branch forced
+    # B: full engaged path — layout + tables + kernel + overflow rescore
     @jax.jit
     def step_b(p):
-        plan = prep(p)
-        s, m = og.grouped_score(df, plan, scand, valid,
-                                match_dist_min=0.2, match_dist_flat=0.05,
-                                match_weight=5.0)
+        from mcl_3dl_tpu.models.likelihood import grouped_like_apply
+        stats, lo, fits = prep(p)
+        layout = og.build_layout(stats, cap)
+        s, m = grouped_like_apply(
+            df, stats, layout, lo, scand, valid,
+            match_dist_min=0.2, match_dist_flat=0.05, match_weight=5.0)
         return p + (s * 1e-30)[:, None]
 
-    timed("B prepare+score", step_b)
+    timed("B full engaged path", step_b)
 
-    # C: prepare + extract only
+    # C: stats + boxes + layout + extract (kernel skipped)
     @jax.jit
     def step_c(p):
-        plan = prep(p)
+        stats, lo, fits = prep(p)
+        layout = og.build_layout(stats, cap)
         nzp = df.field2d.shape[1]
         tables, z_used = og.extract_tables(
-            df.field2d, df.field.shape[1], nzp, plan.lo, valid,
+            df.field2d, df.field.shape[1], nzp, lo, valid,
             float(df.trunc))
-        return p + (jnp.sum(tables[:, :, 0, 0]) * 1e-30)
+        return p + ((jnp.sum(tables[:, :, 0, 0])
+                     + jnp.sum(layout.tile_group)) * 1e-30)
 
-    timed("C prepare+extract", step_c)
+    timed("C +layout+extract", step_c)
 
 
 if __name__ == "__main__":
