@@ -32,6 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P_spec
 
 from mcl_3dl_tpu import pf
 from mcl_3dl_tpu import state as st
@@ -543,22 +544,187 @@ class MCL3DL:
         )
 
 
+    def _measure_models(self, pos, rot, mask, n_active, df, df_beam, occ,
+                        like_pts, like_valid, beam_pts, beam_labels,
+                        beam_valid, origins, *, spmd_safe=False):
+        """Per-particle measurement likelihoods (measure_func,
+        src/mcl_3dl.cpp:402-425): likelihood-field + beam models with
+        their tiered fast paths.  Pure per-particle math — safe to run
+        per shard under ``shard_map`` (``parallel/sharding.py``) on the
+        local particle slice.
+
+        Returns ``(lik_l, qual_l, lik_b, tier_like, tier_beam)``.
+        """
+        p = self.params
+        lp, bp = p.likelihood, p.beam
+        # Trilinear sampling for normal tracking accuracy; 1-gather
+        # nearest-cell sampling during global localization (huge particle
+        # counts, pose uncertainty >> half a cell).
+        in_global_mode = n_active > p.num_particles
+        local_ok = self._local_kernel_ok and not spmd_safe
+        n_cap = pos.shape[0]
+        rmat = mq.rotation_matrix(mq.normalize(rot))          # [N, 3, 3]
+
+        # grouped fixed-march beam kernel eligibility (the reference's
+        # exact kd-tree march over pose-grouped local tables; fixed
+        # probe count covers the longest clipped ray (+1 m sensor-
+        # origin margin).  nprobe capped by its VMEM table block.
+        use_grouped_beam = False
+        if p.use_beam_model and not bp.use_raycast_using_dda:
+            z_ext = max(abs(bp.clip_z_min), abs(bp.clip_z_max))
+            steps_g = int(math.ceil(
+                (math.hypot(bp.clip_far, z_ext) + bp.hit_range + 1.0)
+                / p.map_grid_min)) + 2
+            use_grouped_beam = (
+                local_ok and n_cap % _GTILE == 0 and steps_g + 1 <= 64
+            )
+
+        # ONE pose-grouped sort serves both measurement kernels: df and
+        # df_beam live on the same grid (map/map_data.py), so the stats,
+        # the counting-sorted layout, and the overflow slots are shared;
+        # each model keeps its own per-virtual-point boxes + fits cond.
+        grouped_like = grouped_beam = None
+        share_like = (
+            local_ok and lp.interp == "nearest"
+            and n_cap % _GTILE == 0 and df.field2d is not None
+        )
+        if share_like or use_grouped_beam:
+            cap = og.default_overflow_cap(n_cap)
+            stats = og.group_stats(pos, rmat, rot, df.weights,
+                                   float(df.cell), df.origin, mask)
+            need_layout = jnp.zeros((), bool)
+            if share_like:
+                lo_l, fits_kg_l = og.group_boxes(stats, like_pts,
+                                                 df.field.shape)
+                fits_l = (jnp.all(fits_kg_l | ~like_valid[:, None])
+                          & (stats.n_over <= cap))
+                need_layout |= fits_l
+            if use_grouped_beam:
+                vp = BeamVirtualPoints(
+                    beam_pts, beam_labels, beam_valid, origins,
+                    p.map_grid_min, bp.hit_range, steps_g)
+                lo_b, fits_kg_b = og.group_boxes(stats, vp.vpf,
+                                                 df_beam.field.shape)
+                fits_b = (jnp.all(fits_kg_b | ~vp.chainf[:, None])
+                          & (stats.n_over <= cap))
+                need_layout |= fits_b
+            layout = jax.lax.cond(
+                need_layout,
+                lambda: og.build_layout(stats, cap),
+                lambda: og.empty_layout(n_cap, cap),
+            )
+            if share_like:
+                grouped_like = (stats, layout, lo_l, fits_l)
+            if use_grouped_beam:
+                grouped_beam = (stats, layout, lo_b, fits_b, vp)
+
+        if lp.interp == "nearest":
+            lik_l, qual_l, tier_like = likelihood_measure(
+                df, pos, rot, like_pts, like_valid,
+                lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
+                trilinear=False, local_kernel=local_ok,
+                active=mask, rmat=rmat, grouped=grouped_like,
+                with_info=True,
+            )
+        else:
+            lik_l, qual_l, tier_like = jax.lax.cond(
+                in_global_mode,
+                lambda: likelihood_measure(
+                    df, pos, rot, like_pts, like_valid,
+                    lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
+                    trilinear=False, local_kernel=local_ok,
+                    active=mask, rmat=rmat, with_info=True,
+                ),
+                lambda: likelihood_measure(
+                    df, pos, rot, like_pts, like_valid,
+                    lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
+                    trilinear=True, rmat=rmat, with_info=True,
+                ),
+            )
+        if p.use_beam_model:
+            if bp.use_raycast_using_dda:
+                num_steps = int(
+                    math.ceil((bp.clip_far + bp.hit_range)
+                              / (bp.dda_grid_size * 0.5))
+                ) + 2
+            else:
+                # sphere tracing: adaptive steps, bounded iteration count
+                num_steps = min(
+                    bp.max_sphere_steps,
+                    int(math.ceil((bp.clip_far + bp.hit_range)
+                                  / p.map_grid_min)) + 2,
+                )
+
+            def _beam_xla():
+                lik, _, _ = beam_measure(
+                    df_beam, occ, pos, rot, beam_pts,
+                    beam_labels, beam_valid, origins,
+                    use_dda=bp.use_raycast_using_dda,
+                    map_grid_min=p.map_grid_min,
+                    map_grid_max=p.map_grid_max,
+                    hit_range=bp.hit_range,
+                    beam_likelihood_min=bp.beam_likelihood,
+                    num_points_default=bp.num_points,
+                    sin_total_ref=math.sin(bp.ang_total_ref),
+                    filter_label_max=bp.filter_label_max,
+                    add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
+                    num_steps=num_steps,
+                    early_exit=not spmd_safe,
+                    ray_angle_half=bp.ray_angle_half,
+                    min_dist_thr_sq=p.min_dist_thr_sq,
+                )
+                return lik
+
+            if use_grouped_beam:
+                lik_b, tier_beam = beam_measure_grouped(
+                    df_beam, pos, rot, beam_pts, beam_labels,
+                    beam_valid, origins,
+                    map_grid_min=p.map_grid_min,
+                    map_grid_max=p.map_grid_max,
+                    hit_range=bp.hit_range,
+                    beam_likelihood_min=bp.beam_likelihood,
+                    num_points_default=bp.num_points,
+                    sin_total_ref=math.sin(bp.ang_total_ref),
+                    add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
+                    num_steps=steps_g,
+                    active=mask,
+                    fallback=_beam_xla,
+                    grouped=grouped_beam,
+                    rmat=rmat,
+                    with_info=True,
+                )
+            else:
+                lik_b = _beam_xla()
+                tier_beam = jnp.int32(2)
+        else:
+            lik_b = jnp.ones_like(lik_l)
+            tier_beam = jnp.int32(-1)
+        return lik_l, qual_l, lik_b, tier_like, tier_beam
+
     def _measurement_step(
         self, state, key, df, df_beam, occ,
         cloud, cloud_label, cloud_valid, normals, origins,
         odom_pos, odom_rot, prev_pos, prev_rot,
         f_pos, f_ang, is_global_fix, std_warn_thresh=None,
-        *, spmd_safe=False,
+        *, spmd_safe=False, shard_mesh=None,
     ):
         """The fused measurement update (src/mcl_3dl.cpp:363-893 on device).
 
-        ``spmd_safe=True`` (static; set by the particle-sharded wrappers
-        in parallel/sharding.py) selects shard-count-invariant control
-        flow: fixed-trip raycast marches instead of early-exit
-        ``while_loop`` (whose cond would reduce over the sharded axis —
-        each shard then runs its own trip count and the program's
-        collectives deadlock) and the pure-XLA likelihood path (the
-        Pallas local-table kernel cannot be GSPMD-partitioned).
+        ``shard_mesh`` (static; set by ``parallel.sharded_filter_step``)
+        runs the per-particle measurement models under ``shard_map`` on
+        each shard's local particle slice — pose-grouped Pallas kernels
+        and early-exit raycasts included, since control flow inside
+        shard_map is device-local.  The rest of the step stays under
+        GSPMD auto-partitioning (weight normalization, moments,
+        resampling CDF get their collectives inserted automatically).
+
+        ``spmd_safe=True`` (static; the vmapped fleet path) selects
+        shard-count-invariant control flow under plain GSPMD: fixed-trip
+        raycast marches instead of early-exit ``while_loop`` (whose cond
+        would reduce over the sharded axis — each shard then runs its
+        own trip count and the program's collectives deadlock) and the
+        pure-XLA likelihood path (the Pallas local-table kernel cannot
+        be GSPMD-partitioned).
         """
         p = self.params
         lp, bp = p.likelihood, p.beam
@@ -622,148 +788,49 @@ class MCL3DL:
         beam_labels = cloud_label[beam_idx]
 
         # --- per-particle likelihoods (measure_func, src/mcl_3dl.cpp:402-425)
-        # Trilinear sampling for normal tracking accuracy; 1-gather
-        # nearest-cell sampling during global localization (huge particle
-        # counts, pose uncertainty >> half a cell).
-        in_global_mode = state.n_active > p.num_particles
-        local_ok = self._local_kernel_ok and not spmd_safe
-        n_cap = state.pos.shape[0]
-        rmat = mq.rotation_matrix(mq.normalize(state.rot))    # [N, 3, 3]
+        if shard_mesh is not None:
+            # Each shard runs the FULL fast path on its local particles —
+            # pose-grouped Pallas kernels, early-exit raycasts, per-shard
+            # lax.cond tiers — because inside shard_map control flow is
+            # local to the device (no cross-shard reduction in a
+            # while_loop cond, unlike GSPMD auto-partitioning, which
+            # forced the spmd_safe slow path in rounds 1-2).  Collectives
+            # remain only at the filter boundaries below (weight
+            # normalization, moments, resampling CDF), inserted by GSPMD.
+            pp = P_spec("particles")
+            rr = P_spec()
 
-        # grouped fixed-march beam kernel eligibility (the reference's
-        # exact kd-tree march over pose-grouped local tables; fixed
-        # probe count covers the longest clipped ray (+1 m sensor-
-        # origin margin).  nprobe capped by its VMEM table block.
-        use_grouped_beam = False
-        if p.use_beam_model and not bp.use_raycast_using_dda:
-            z_ext = max(abs(bp.clip_z_min), abs(bp.clip_z_max))
-            steps_g = int(math.ceil(
-                (math.hypot(bp.clip_far, z_ext) + bp.hit_range + 1.0)
-                / p.map_grid_min)) + 2
-            use_grouped_beam = (
-                local_ok and n_cap % _GTILE == 0 and steps_g + 1 <= 64
-            )
+            def _models_local(pos, rot, mask_l, n_act, df_, df_beam_, occ_,
+                              lpts, lvalid, bpts, blabels, bvalid, orgs):
+                lik_l, qual_l, lik_b, tl, tb = self._measure_models(
+                    pos, rot, mask_l, n_act, df_, df_beam_, occ_,
+                    lpts, lvalid, bpts, blabels, bvalid, orgs,
+                    spmd_safe=False,
+                )
+                return lik_l, qual_l, lik_b, tl[None], tb[None]
 
-        # ONE pose-grouped sort serves both measurement kernels: df and
-        # df_beam live on the same grid (map/map_data.py), so the stats,
-        # the counting-sorted layout, and the overflow slots are shared;
-        # each model keeps its own per-virtual-point boxes + fits cond.
-        grouped_like = grouped_beam = None
-        share_like = (
-            local_ok and lp.interp == "nearest"
-            and n_cap % _GTILE == 0 and df.field2d is not None
-        )
-        if share_like or use_grouped_beam:
-            cap = og.default_overflow_cap(n_cap)
-            stats = og.group_stats(state.pos, rmat, state.rot, df.weights,
-                                   float(df.cell), df.origin, mask)
-            need_layout = jnp.zeros((), bool)
-            if share_like:
-                lo_l, fits_kg_l = og.group_boxes(stats, like_pts,
-                                                 df.field.shape)
-                fits_l = (jnp.all(fits_kg_l | ~like_valid[:, None])
-                          & (stats.n_over <= cap))
-                need_layout |= fits_l
-            if use_grouped_beam:
-                vp = BeamVirtualPoints(
-                    beam_pts, beam_labels, beam_valid, origins,
-                    p.map_grid_min, bp.hit_range, steps_g)
-                lo_b, fits_kg_b = og.group_boxes(stats, vp.vpf,
-                                                 df_beam.field.shape)
-                fits_b = (jnp.all(fits_kg_b | ~vp.chainf[:, None])
-                          & (stats.n_over <= cap))
-                need_layout |= fits_b
-            layout = jax.lax.cond(
-                need_layout,
-                lambda: og.build_layout(stats, cap),
-                lambda: og.empty_layout(n_cap, cap),
-            )
-            if share_like:
-                grouped_like = (stats, layout, lo_l, fits_l)
-            if use_grouped_beam:
-                grouped_beam = (stats, layout, lo_b, fits_b, vp)
-
-        if lp.interp == "nearest":
-            lik_l, qual_l, tier_like = likelihood_measure(
-                df, state.pos, state.rot, like_pts, like_valid,
-                lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-                trilinear=False, local_kernel=local_ok,
-                active=mask, rmat=rmat, grouped=grouped_like,
-                with_info=True,
-            )
+            # check_vma=False: early-exit while_loop carries start from
+            # unvarying zeros but end particle-varying, which the vma
+            # checker rejects; everything here is genuinely per-particle
+            lik_l, qual_l, lik_b, tl_s, tb_s = jax.shard_map(
+                _models_local, mesh=shard_mesh,
+                in_specs=(pp, pp, pp, rr, rr, rr, rr, rr, rr, rr, rr, rr,
+                          rr),
+                out_specs=(pp, pp, pp, pp, pp),
+                check_vma=False,
+            )(state.pos, state.rot, mask, state.n_active, df, df_beam, occ,
+              like_pts, like_valid, beam_pts, beam_labels, beam_valid,
+              origins)
+            # conservative: report the worst tier any shard paid
+            tier_like = jnp.max(tl_s)
+            tier_beam = jnp.max(tb_s)
         else:
-            lik_l, qual_l, tier_like = jax.lax.cond(
-                in_global_mode,
-                lambda: likelihood_measure(
-                    df, state.pos, state.rot, like_pts, like_valid,
-                    lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-                    trilinear=False, local_kernel=local_ok,
-                    active=mask, rmat=rmat, with_info=True,
-                ),
-                lambda: likelihood_measure(
-                    df, state.pos, state.rot, like_pts, like_valid,
-                    lp.match_dist_min, lp.match_dist_flat, lp.match_weight,
-                    trilinear=True, rmat=rmat, with_info=True,
-                ),
+            lik_l, qual_l, lik_b, tier_like, tier_beam = self._measure_models(
+                state.pos, state.rot, mask, state.n_active, df, df_beam, occ,
+                like_pts, like_valid, beam_pts, beam_labels, beam_valid,
+                origins, spmd_safe=spmd_safe,
             )
-        if p.use_beam_model:
-            if bp.use_raycast_using_dda:
-                num_steps = int(
-                    math.ceil((bp.clip_far + bp.hit_range)
-                              / (bp.dda_grid_size * 0.5))
-                ) + 2
-            else:
-                # sphere tracing: adaptive steps, bounded iteration count
-                num_steps = min(
-                    bp.max_sphere_steps,
-                    int(math.ceil((bp.clip_far + bp.hit_range)
-                                  / p.map_grid_min)) + 2,
-                )
 
-            def _beam_xla():
-                lik, _, _ = beam_measure(
-                    df_beam, occ, state.pos, state.rot, beam_pts,
-                    beam_labels, beam_valid, origins,
-                    use_dda=bp.use_raycast_using_dda,
-                    map_grid_min=p.map_grid_min,
-                    map_grid_max=p.map_grid_max,
-                    hit_range=bp.hit_range,
-                    beam_likelihood_min=bp.beam_likelihood,
-                    num_points_default=bp.num_points,
-                    sin_total_ref=math.sin(bp.ang_total_ref),
-                    filter_label_max=bp.filter_label_max,
-                    add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
-                    num_steps=num_steps,
-                    early_exit=not spmd_safe,
-                    ray_angle_half=bp.ray_angle_half,
-                    min_dist_thr_sq=p.min_dist_thr_sq,
-                )
-                return lik
-
-            if use_grouped_beam:
-                lik_b, tier_beam = beam_measure_grouped(
-                    df_beam, state.pos, state.rot, beam_pts, beam_labels,
-                    beam_valid, origins,
-                    map_grid_min=p.map_grid_min,
-                    map_grid_max=p.map_grid_max,
-                    hit_range=bp.hit_range,
-                    beam_likelihood_min=bp.beam_likelihood,
-                    num_points_default=bp.num_points,
-                    sin_total_ref=math.sin(bp.ang_total_ref),
-                    add_penalty_short_only_mode=bp.add_penalty_short_only_mode,
-                    num_steps=steps_g,
-                    active=mask,
-                    fallback=_beam_xla,
-                    grouped=grouped_beam,
-                    rmat=rmat,
-                    with_info=True,
-                )
-            else:
-                lik_b = _beam_xla()
-                tier_beam = jnp.int32(2)
-        else:
-            lik_b = jnp.ones_like(lik_l)
-            tier_beam = jnp.int32(-1)
         odom_error = normal_likelihood(
             jnp.linalg.norm(state.odom_err_lin, axis=-1), p.odom_err_integ_lin_sigma
         )

@@ -61,6 +61,14 @@ def sharded_filter_step(engine, mesh: Mesh):
     Returns a function with the same signature as
     ``MCL3DL._measurement_step``; inputs other than the particle state
     are replicated.
+
+    The measurement models run under ``shard_map`` on each shard's
+    LOCAL particle slice (see ``MCL3DL._measure_models``), so the
+    pose-grouped Pallas fast tiers and early-exit raycast marches
+    engage per shard — the v5e-16 scaling story runs the same fast
+    kernels as the single-chip path.  Only the filter boundaries
+    (weight normalization, entropy, moments, covariance, resampling
+    CDF) cross shards, via GSPMD-inserted collectives.
     """
     spec = _state_spec(False)
     state_sh = jax.tree.map(
@@ -69,18 +77,13 @@ def sharded_filter_step(engine, mesh: Mesh):
     )
     repl = NamedSharding(mesh, P())
 
-    def rep_tree(tree):
-        return jax.tree.map(lambda _: repl, tree)
-
     def step(state, key, df, df_beam, occ, cloud, cloud_label, cloud_valid,
              normals, origins, odom_pos, odom_rot, prev_pos, prev_rot,
              f_pos, f_ang, is_global_fix):
-        # spmd_safe: fixed-trip raycasts + pure-XLA likelihood (see
-        # MCL3DL._measurement_step docstring)
         return engine._measurement_step(
             state, key, df, df_beam, occ, cloud, cloud_label, cloud_valid,
             normals, origins, odom_pos, odom_rot, prev_pos, prev_rot,
-            f_pos, f_ang, is_global_fix, spmd_safe=True,
+            f_pos, f_ang, is_global_fix, shard_mesh=mesh,
         )
 
     return jax.jit(

@@ -62,3 +62,83 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_measure_models_grouped_tier_per_shard():
+    """Under shard_map, each shard must run the pose-grouped Pallas
+    tier on its LOCAL particle slice (tier 0), and the sharded scores
+    must equal the single-device path's.  2 shards x TILE particles,
+    tight tracking spread, small point count (interpret-mode kernels)."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mcl_3dl_tpu.config import LikelihoodParams, Params
+    from mcl_3dl_tpu.engine import MCL3DL
+    from mcl_3dl_tpu.math import quat as mq
+    from mcl_3dl_tpu.ops.grouped import TILE
+
+    mesh = make_mesh(2)
+    n = 2 * TILE
+    rng = np.random.default_rng(3)
+
+    def wall_points(x=2.0, half=3.0, grid=0.1):
+        ys = np.arange(-half, half + grid / 2, grid)
+        zs = np.arange(-1.0, 1.0 + grid / 2, grid)
+        gy, gz = np.meshgrid(ys, zs, indexing="ij")
+        return np.stack([np.full(gy.size, x), gy.ravel(), gz.ravel()], 1)
+
+    params = Params(num_particles=n, use_beam_model=True,
+                    likelihood=LikelihoodParams(interp="nearest",
+                                                num_points=4))
+    eng = MCL3DL(params, capacity=n)
+    eng.load_map(wall_points())
+
+    pos = jnp.asarray(
+        np.array([0.1, -0.05, 0.0]) + rng.normal(0, 0.02, (n, 3)),
+        jnp.float32)
+    rpy = np.stack([rng.normal(0, 0.01, n), rng.normal(0, 0.01, n),
+                    rng.uniform(-0.3, 0.3, n)], 1)
+    rot = jnp.asarray(np.stack(
+        [np.asarray(mq.from_rpy(jnp.asarray(r))) for r in rpy]), jnp.float32)
+    mask = jnp.ones((n,), bool)
+    n_active = jnp.asarray(n, jnp.int32)
+
+    kpts = jnp.asarray(wall_points()[::40][:4] + 0.01, jnp.float32)
+    kvalid = jnp.ones((kpts.shape[0],), bool)
+    blabels = jnp.zeros((kpts.shape[0],), jnp.int32)
+    origins = jnp.zeros((1, 3), jnp.float32)
+    md = eng.map
+
+    # single-device reference
+    ref = eng._measure_models(
+        pos, rot, mask, n_active, md.df, md.df_beam, md.occ,
+        kpts, kvalid, kpts, blabels, kvalid, origins)
+    assert int(ref[3]) == 0 and int(ref[4]) == 0   # grouped engaged
+
+    pp = P("particles")
+
+    def local(pos_l, rot_l, mask_l):
+        lik_l, qual_l, lik_b, tl, tb = eng._measure_models(
+            pos_l, rot_l, mask_l, n_active, md.df, md.df_beam, md.occ,
+            kpts, kvalid, kpts, blabels, kvalid, origins)
+        return lik_l, qual_l, lik_b, tl[None], tb[None]
+
+    with mesh:
+        sharded = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(pp, pp, pp), out_specs=(pp, pp, pp, pp, pp),
+            check_vma=False,
+        ))
+        lik_l, qual_l, lik_b, tl_s, tb_s = sharded(
+            jax.device_put(pos, NamedSharding(mesh, pp)),
+            jax.device_put(rot, NamedSharding(mesh, pp)),
+            jax.device_put(mask, NamedSharding(mesh, pp)),
+        )
+    # every shard took the grouped Pallas tier for both models
+    assert np.asarray(tl_s).max() == 0
+    assert np.asarray(tb_s).max() == 0
+    np.testing.assert_allclose(np.asarray(lik_l), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lik_b), np.asarray(ref[2]),
+                               rtol=1e-5, atol=1e-5)
