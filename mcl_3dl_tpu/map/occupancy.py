@@ -7,10 +7,14 @@ The minimum point label per voxel supports label transparency
 (lidar_measurement_model_beam.cpp:168-169): a voxel blocks a ray iff it
 contains at least one point with ``label <= filter_label_max``.
 
-The per-voxel mean point position (stored quantized) stands in for the
-reference's exact collided-point coordinates when classifying HIT vs
-SHORT by distance to the scan endpoint
-(lidar_measurement_model_beam.cpp:173-184).
+Per-voxel point lists are represented by up to ``REP_POINTS``
+spread-sampled *representative points* (stored as quantized offsets):
+the reference tests every point stored in a voxel against the ray's
+perpendicular-distance criterion (raycast_using_dda.h:237-258); here
+every representative is tested and the first passing one is the
+collision point — multi-surface voxels (e.g. two walls clipping one
+cell) classify correctly where a single mean point would smear them.
+Voxels with <= REP_POINTS points are exact.
 """
 
 from __future__ import annotations
@@ -21,12 +25,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# representative points stored per voxel; slots beyond the voxel's
+# point count repeat the first point (idempotent under the any-of test)
+REP_POINTS = 4
+
 
 @dataclass(frozen=True)
 class OccupancyGrid:
     occupied: jnp.ndarray       # [nx, ny, nz] bool
     min_label: jnp.ndarray      # [nx, ny, nz] uint32 (0xFFFFFFFF when empty)
-    mean_point: jnp.ndarray     # [nx, ny, nz, 3] uint8 offsets within voxel
+    rep_point: jnp.ndarray      # [nx, ny, nz, REP_POINTS, 3] uint8 offsets
     origin: jnp.ndarray         # [3] float32 (min corner of voxel (0,0,0))
     cell: float
 
@@ -35,10 +43,11 @@ class OccupancyGrid:
         return self.occupied.shape
 
     def lookup(self, q):
-        """Query points ``q`` [..., 3] -> (occupied, label, point_pos).
+        """Query points ``q`` [..., 3] -> (occupied, label, rep_pos).
 
-        ``point_pos`` is the dequantized mean point of the voxel (or the
-        voxel center when empty); out-of-bounds queries are unoccupied.
+        ``rep_pos`` [..., REP_POINTS, 3] are the dequantized
+        representative points of the voxel (voxel center when empty);
+        out-of-bounds queries are unoccupied.
         """
         nx, ny, nz = self.occupied.shape
         dims = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -49,17 +58,19 @@ class OccupancyGrid:
         occ = jnp.take(self.occupied.reshape(-1), flat) & ~oob
         label = jnp.take(self.min_label.reshape(-1), flat)
         off = jnp.take(
-            self.mean_point.reshape(-1, 3), flat, axis=0
+            self.rep_point.reshape(-1, REP_POINTS, 3), flat, axis=0
         ).astype(jnp.float32) / 255.0
-        pos = self.origin + (ic.astype(jnp.float32) + off) * jnp.float32(self.cell)
+        pos = self.origin + (
+            ic[..., None, :].astype(jnp.float32) + off
+        ) * jnp.float32(self.cell)
         return occ, label, pos
 
 
 jax.tree_util.register_pytree_node(
     OccupancyGrid,
-    lambda g: ((g.occupied, g.min_label, g.mean_point, g.origin), (g.cell,)),
+    lambda g: ((g.occupied, g.min_label, g.rep_point, g.origin), (g.cell,)),
     lambda aux, ch: OccupancyGrid(
-        occupied=ch[0], min_label=ch[1], mean_point=ch[2], origin=ch[3],
+        occupied=ch[0], min_label=ch[1], rep_point=ch[2], origin=ch[3],
         cell=aux[0],
     ),
 )
@@ -70,7 +81,12 @@ def build_occupancy_grid(
     cell: float,
     labels: np.ndarray | None = None,
 ) -> OccupancyGrid:
-    """Build the occupancy grid on host from map points [M, 3]."""
+    """Build the occupancy grid on host from map points [M, 3].
+
+    Representative points per voxel: ``REP_POINTS`` stride samples of
+    the voxel's point list including its first and last member — exact
+    when the voxel holds <= REP_POINTS points, a spread subset
+    otherwise."""
     points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
     if labels is None:
         labels = np.zeros((points.shape[0],), np.uint32)
@@ -80,7 +96,7 @@ def build_occupancy_grid(
         return OccupancyGrid(
             occupied=jnp.zeros((1, 1, 1), bool),
             min_label=jnp.full((1, 1, 1), 0xFFFFFFFF, jnp.uint32),
-            mean_point=jnp.full((1, 1, 1, 3), 127, jnp.uint8),
+            rep_point=jnp.full((1, 1, 1, REP_POINTS, 3), 127, jnp.uint8),
             origin=jnp.zeros((3,), jnp.float32),
             cell=float(cell),
         )
@@ -107,18 +123,23 @@ def build_occupancy_grid(
     min_label = np.full(nx * ny * nz, 0xFFFFFFFF, np.uint32)
     min_label[uids] = np.minimum.reduceat(labels[order], starts)
 
-    mean_pts = (
-        np.add.reduceat(points[order], starts, axis=0) / counts[:, None]
-    )
-    off = (mean_pts - origin) / cell - idx[order][starts]
+    # stride-sample REP_POINTS representatives per voxel (first + last
+    # always included; duplicates when the voxel has fewer points)
+    rep_sel = np.stack([
+        starts + (r * (counts - 1)) // max(REP_POINTS - 1, 1)
+        for r in range(REP_POINTS)
+    ], axis=1)                                        # [V, R] indices
+    rep_pts = points[order][rep_sel]                  # [V, R, 3]
+    off = rep_pts / cell - (origin / cell + idx[order][starts])[:, None, :]
     off_q = np.clip(np.round(off * 255.0), 0, 255).astype(np.uint8)
-    mean_point = np.full((nx * ny * nz, 3), 127, np.uint8)
-    mean_point[uids] = off_q
+    rep_point = np.full((nx * ny * nz, REP_POINTS, 3), 127, np.uint8)
+    rep_point[uids] = off_q
 
     return OccupancyGrid(
         occupied=jnp.asarray(occupied.reshape(nx, ny, nz)),
         min_label=jnp.asarray(min_label.reshape(nx, ny, nz)),
-        mean_point=jnp.asarray(mean_point.reshape(nx, ny, nz, 3)),
+        rep_point=jnp.asarray(
+            rep_point.reshape(nx, ny, nz, REP_POINTS, 3)),
         origin=jnp.asarray(origin, jnp.float32),
         cell=float(cell),
     )

@@ -177,16 +177,19 @@ def raycast_occ(
     mean map point.  Returns ``(collision, collision_pos, sin_angle=1)``.
 
     Perpendicular-distance refinement (raycast_using_dda.h:237-258): an
-    occupied voxel blocks only if its map point lies within
+    occupied voxel blocks only if one of its stored points lies within
     ``max((ray_angle_half * foot)^2, min_dist_thr_sq)`` of the ray
     (squared perpendicular distance; ``foot`` = distance from ray begin
     to the point's perpendicular foot), so grazing rays that clip a
     voxel corner stay LONG.  ``min_dist_thr_sq`` mirrors the reference's
     own formula ``gx^2 + gy^2 + gy^2`` — y counted twice, quirk
-    preserved (raycast_using_dda.h:59).  Deviation: the reference tests
-    every point stored in the voxel; here the voxel's stored MEAN point
-    stands in (occupancy.py rationale).  With both parameters 0 every
-    occupied voxel blocks (the pre-refinement behaviour).
+    preserved (raycast_using_dda.h:59).  The reference tests every
+    point stored in the voxel; here the voxel's ``REP_POINTS``
+    spread-sampled representatives are all tested and the FIRST passing
+    one is the collision point (exact when the voxel holds <=
+    REP_POINTS points — multi-surface voxels classify correctly).  With
+    both parameters 0 every occupied voxel blocks (the pre-refinement
+    behaviour; collision point = first stored representative).
     """
     step = occ.cell * 0.5
     seg = end - begin
@@ -214,22 +217,30 @@ def raycast_occ(
         s, found, cpos = carry
         t = jnp.float32(s + 1) * step
         pos = begin + direction * t
-        occ_hit, label, point_pos = occ.lookup(pos)
+        occ_hit, label, rep_pos = occ.lookup(pos)       # rep_pos [..., R, 3]
         voxel = jnp.floor((pos - occ.origin) / occ.cell).astype(jnp.int32)
         same_as_begin = jnp.all(voxel == begin_voxel, axis=-1)
         # perpendicular-distance collision test (hasIntersection,
-        # raycast_using_dda.h:243-256) against the voxel's mean point
+        # raycast_using_dda.h:243-256) against EVERY representative
+        # point; the first passing one is the collision point (the
+        # reference's first-in-list semantics)
         if ray_angle_half > 0.0 or min_dist_thr_sq > 0.0:
-            rel = point_pos - begin
-            foot = jnp.abs(jnp.sum(rel * direction, axis=-1))
+            rel = rep_pos - begin[..., None, :]          # [..., R, 3]
+            foot = jnp.abs(jnp.sum(rel * direction[..., None, :], axis=-1))
             thr_sq = jnp.maximum(
                 (jnp.float32(ray_angle_half) * foot) ** 2,
                 jnp.float32(min_dist_thr_sq),
             )
             perp_sq = jnp.sum(rel * rel, axis=-1) - foot * foot
-            near_ray = perp_sq < thr_sq
+            pass_r = perp_sq < thr_sq                    # [..., R]
+            near_ray = jnp.any(pass_r, axis=-1)
+            first = jnp.argmax(pass_r, axis=-1)          # first passing rep
         else:
             near_ray = jnp.ones(occ_hit.shape, bool)
+            first = jnp.zeros(occ_hit.shape, jnp.int32)
+        point_pos = jnp.take_along_axis(
+            rep_pos, first[..., None, None], axis=-2
+        )[..., 0, :]
         blocked = (
             occ_hit
             & near_ray

@@ -126,7 +126,26 @@ def test_occupancy_grid_basic():
     o, lbl, pos = occ.lookup(jnp.asarray([[0.1, 0.1, 0.1], [0.5, 0.1, 0.1]]))
     assert bool(o[0]) and not bool(o[1])
     assert int(lbl[0]) == 3
-    assert np.allclose(np.asarray(pos[0]), [0.05, 0.05, 0.05], atol=0.01)
+    # all representative slots hold the voxel's single point
+    assert np.allclose(np.asarray(pos[0]),
+                       [[0.05, 0.05, 0.05]] * pos.shape[-2], atol=0.01)
+
+
+def test_occupancy_representative_points_two_surfaces():
+    """A voxel holding two separated point clusters must expose both as
+    representatives (the reference stores every point per voxel,
+    raycast_using_dda.h:162-190); a mean point would fall in the gap."""
+    # two "surfaces" inside one 0.4 m voxel: x ~ 0.02 and x ~ 0.38
+    pts = np.array([
+        [0.02, 0.1, 0.1], [0.02, 0.2, 0.1], [0.02, 0.3, 0.1],
+        [0.38, 0.1, 0.1], [0.38, 0.2, 0.1], [0.38, 0.3, 0.1],
+    ])
+    occ = build_occupancy_grid(pts, 0.4)
+    _, _, pos = occ.lookup(jnp.asarray([0.2, 0.2, 0.2]))
+    xs = np.asarray(pos)[:, 0]
+    assert (np.abs(xs - 0.02) < 0.01).any()    # first surface present
+    assert (np.abs(xs - 0.38) < 0.01).any()    # second surface present
+    assert not ((np.abs(xs - 0.2) < 0.05).any())   # no mean-point smear
 
 
 def test_occupancy_min_label():

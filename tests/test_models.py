@@ -364,6 +364,35 @@ def test_likelihood_empty_cloud():
 # ---------------------------------------------------------------- raycast
 
 
+def test_raycast_occ_two_surface_voxel():
+    """The DDA perpendicular-distance check must test every stored
+    representative point (raycast_using_dda.h:237-258): a ray grazing
+    one of two surfaces sharing a voxel collides with that surface,
+    even though the voxel's MEAN point lies in the empty gap between
+    them (out of the perpendicular threshold)."""
+    from mcl_3dl_tpu.map.occupancy import build_occupancy_grid
+
+    cell = 0.4
+    pts = np.array([
+        [0.0, 0.0, 0.0], [2.2, 0.4, 0.4],       # AABB anchors
+        [1.0, 0.02, 0.2],                        # surface 1 (far from ray)
+        [1.0, 0.36, 0.2],                        # surface 2 (on the ray)
+    ])
+    occ = build_occupancy_grid(pts, cell)
+    begin = jnp.asarray([0.0, 0.35, 0.2], jnp.float32)
+    end = jnp.asarray([2.0, 0.35, 0.2], jnp.float32)
+    thr_sq = 0.05 ** 2
+    col, cpos, _ = raycast_occ(
+        occ, begin, end, hit_tolerance=0.2, filter_label_max=0xFFFFFFFF,
+        num_steps=64, ray_angle_half=0.0, min_dist_thr_sq=thr_sq)
+    assert bool(col)
+    # collided with surface 2's point, not the voxel mean (y ~ 0.19)
+    assert abs(float(cpos[1]) - 0.36) < 0.02
+    # sanity: the voxel mean would have failed the perpendicular test
+    mean_perp_sq = (0.35 - (0.02 + 0.36) / 2) ** 2
+    assert mean_perp_sq > thr_sq
+
+
 def test_raycast_df_hits_wall():
     wall = _wall_points()
     df = build_distance_field(wall, 0.1, 0.6)

@@ -132,9 +132,10 @@ def main():
     print(f"N={n} active={active.sum()} K_ok={len(p_ok)} dims={dims3}")
     print(f"pos std {pos[active].std(0).round(3)}  "
           f"rpy std {np.std([roll[active], pitch[active], yaw[active]], 1).round(3)}")
-    for nyaw, npitch, nroll, s2 in itertools.product(
-            (8, 12, 16, 24), (1, 2), (1, 2), (3.0, 3.5, 4.5)):
-        run(nyaw, npitch, nroll, 3.5, s2, 12)
+    configs = itertools.product(
+        (12, 16, 24), (2,), (2,), (2.8, 3.0, 3.2, 3.5))
+    for nyaw, npitch, nroll, s2 in configs:
+        run(nyaw, npitch, nroll, max(3.5, s2), s2, 12)
 
 
 if __name__ == "__main__":
