@@ -66,12 +66,16 @@ from jax.experimental.pallas import tpu as pltpu
 # Tunables (static): G_YAW x G_PITCH x G_ROLL content bins + 1
 # outlier/inactive bin, particle tile (8 sublanes x 128 lanes), xy box
 # in weighted-space distance-field cells, z window = one 128-lane row.
-# Values from the steady-state sweep (tools/exp_envelope_sweep.py,
-# docs/CONVERGE_CPU_16K.json): 12x2x2 bins @ ENV_SIGMA=4.5 give
-# max in-map extents [12, 12, 83] vs the (12, 12, 128) box with ~3.7%
-# envelope outliers; roll binning is what collapses the 5x-weighted z
-# extents (112 -> ~80 cells).
-G_YAW = 12
+# Values from the steady-state sweeps on the 16k AND 1M dumps
+# (tools/exp_envelope_sweep.py, docs/CONVERGE_{CPU_16K,TPU_1M}.json):
+# 24x2x2 bins @ ENV_SIGMA=3.0 with absolute envelope floors give
+# max in-map extents [12, 12, 82] vs the (12, 12, 128) box with ~5%
+# envelope outliers at BOTH scales.  Roll binning collapses the
+# 5x-weighted z extents (112 -> ~80 cells); the floors stop the
+# heavy-tailed DIAGONAL rotation coefficients (quadratic in in-bin
+# angle deviations, kurtosis ~16-19, sigma tiny) from marking ~4% of
+# particles as outliers while costing <1 cell of box extent.
+G_YAW = 24
 G_PITCH = 2
 G_ROLL = 2
 G_SPLIT = G_YAW * G_PITCH * G_ROLL
@@ -82,7 +86,9 @@ BY = 12
 R_ROWS = BX * BY
 ZW = 128
 ENV_SIGMA_TRIM = 3.5           # pass-1 gross-outlier trim, in per-bin stds
-ENV_SIGMA = 4.5                # pass-2 envelope half-width over inliers
+ENV_SIGMA = 3.0                # pass-2 envelope half-width over inliers
+ENV_FLOOR_ANG = 0.01           # abs envelope floor, rotation entries
+ENV_FLOOR_POS = 0.5            # abs envelope floor, position (cells)
 _ENV_EPS = 1e-3                # absolute slack against float jitter
 
 
@@ -125,14 +131,18 @@ def group_stats(pos, rot_mat, rot, weights3, cell, origin3, active) -> GroupStat
     Cost: O(N * 12) element ops + G_SPLIT masked reductions — no sort, no
     scatter, no [K, N] tensor.
 
-    Envelope: per-bin ``mean +/- (ENV_SIGMA * std + eps)`` clipped to the
-    bin's true min/max, computed in TWO passes — pass 1 marks gross
-    outliers from the raw moments, pass 2 recomputes mean/std/min/max
-    over pass-1 inliers only, so a handful of far tail particles cannot
-    inflate the std (and thereby the envelope) for the whole bin.
-    Active particles with any coefficient outside the final envelope
-    are *outliers*: they go to the last bin together with inactive
-    slots and must be re-scored by the exact overflow path.
+    Envelope: per-bin ``mean +/- max(ENV_SIGMA * std, floor)`` clipped
+    to the wider of the inliers' true min/max and the floor band,
+    computed in TWO passes — pass 1 marks gross outliers from the raw
+    moments, pass 2 recomputes mean/std/min/max over pass-1 inliers
+    only, so a handful of far tail particles cannot inflate the std
+    (and thereby the envelope) for the whole bin.  The absolute floors
+    (ENV_FLOOR_ANG per rotation entry, scaled by the row's w/cell;
+    ENV_FLOOR_POS cells for b) keep tiny-sigma heavy-tailed
+    coefficients from flagging outliers they cannot produce.  Active
+    particles with any coefficient outside the final envelope are
+    *outliers*: they go to the last bin together with inactive slots
+    and must be re-scored by the exact overflow path.
     """
     n = pos.shape[0]
     w = jnp.asarray(weights3, jnp.float32)
@@ -160,25 +170,51 @@ def group_stats(pos, rot_mat, rot, weights3, cell, origin3, active) -> GroupStat
     a_ctr = jnp.sum(jnp.where(active[:, None], A, 0.0), axis=0) / nact
     Ac = A - a_ctr
 
-    def _envelope(m, sigma):
-        """mean +/- sigma*std envelope of Ac rows selected by ``m``,
-        clipped to their true min/max."""
+    floors = jnp.concatenate([
+        jnp.repeat(w * inv_cell, 3) * jnp.float32(ENV_FLOOR_ANG),
+        jnp.full((3,), ENV_FLOOR_POS, jnp.float32),
+    ])                                                           # [12]
+
+    def _moments(m):
         mf = m[:, None]
         cnt = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
         mean = jnp.sum(jnp.where(mf, Ac, 0.0), axis=0) / cnt
         var = jnp.sum(jnp.where(mf, (Ac - mean) ** 2, 0.0), axis=0) / cnt
-        half = sigma * jnp.sqrt(var) + _ENV_EPS
-        gmin = jnp.min(jnp.where(mf, Ac, big), axis=0)
-        gmax = jnp.max(jnp.where(mf, Ac, -big), axis=0)
-        return jnp.maximum(mean - half, gmin), jnp.minimum(mean + half, gmax)
+        return mean, jnp.sqrt(var)
+
+    # pass 0: per-bin moments + POOLED robust scale.  A single extreme
+    # outlier can dominate its (small) bin's std and hide inside the
+    # sigma cut ("masking"); the cross-bin median std cannot be
+    # inflated by a few contaminated bins, so the trim width is
+    # max(sigma_med, min(sigma_bin, 3*sigma_med)) — per-bin variation
+    # honored up to 3x the pooled scale.
+    members = [(g0 == gg) & active for gg in range(G_SPLIT)]
+    moms = [_moments(m) for m in members]
+    sig_all = jnp.stack([s for _, s in moms])                    # [G, 12]
+    empty = ~jnp.stack([jnp.any(m) for m in members])
+    sig_med = jnp.nanmedian(
+        jnp.where(empty[:, None], jnp.nan, sig_all), axis=0)
+    sig_med = jnp.nan_to_num(sig_med)                            # all-empty
 
     mins, maxs, anys = [], [], []
     outlier = jnp.zeros((n,), bool)
     for gg in range(G_SPLIT):
-        m = (g0 == gg) & active
-        lo1, hi1 = _envelope(m, ENV_SIGMA_TRIM)
-        inl = m & jnp.all((Ac >= lo1) & (Ac <= hi1), axis=-1)
-        env_lo, env_hi = _envelope(inl, ENV_SIGMA)
+        m = members[gg]
+        mean1, sd1 = moms[gg]
+        s1 = jnp.maximum(sig_med, jnp.minimum(sd1, 3.0 * sig_med))
+        h1 = jnp.maximum(ENV_SIGMA_TRIM * s1, floors) + _ENV_EPS
+        inl = m & jnp.all(jnp.abs(Ac - mean1) <= h1, axis=-1)
+        # pass 2: envelope over the trimmed inliers, clipped to the
+        # wider of their true min/max and the floor band.  An
+        # empty-inlier bin degenerates to the floor band around the
+        # global center: members outside go to the exact overflow
+        # path, members inside stay valid for the (tiny) box.
+        mean2, sd2 = _moments(inl)
+        half = jnp.maximum(ENV_SIGMA * sd2, floors) + _ENV_EPS
+        gmin = jnp.min(jnp.where(inl[:, None], Ac, big), axis=0)
+        gmax = jnp.max(jnp.where(inl[:, None], Ac, -big), axis=0)
+        env_lo = jnp.maximum(mean2 - half, jnp.minimum(gmin, mean2 - floors))
+        env_hi = jnp.minimum(mean2 + half, jnp.maximum(gmax, mean2 + floors))
         outlier |= m & jnp.any((Ac < env_lo) | (Ac > env_hi), axis=-1)
         mins.append(env_lo + a_ctr)
         maxs.append(env_hi + a_ctr)
