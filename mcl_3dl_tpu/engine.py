@@ -151,6 +151,7 @@ class MCL3DL:
         self._accum_points: list[np.ndarray] = []
         self._accum_origins: list[np.ndarray] = []
         self._accum_odom: list = []
+        self._accum_stamps: list = []
         self._last_scan_base: Optional[np.ndarray] = None
         self._pc_all_accum: list[np.ndarray] = []
 
@@ -331,6 +332,7 @@ class MCL3DL:
         self._accum_points = []
         self._accum_origins = []
         self._accum_odom = []
+        self._accum_stamps = []
 
     def push_cloud(
         self,
@@ -365,6 +367,7 @@ class MCL3DL:
             # odometry at the cloud's stamp — stands in for the TF lookup
             # the node does at measure time (src/mcl_3dl.cpp:319-335)
             self._accum_odom.append((self.odom_pos.copy(), self.odom_rot.copy()))
+            self._accum_stamps.append(t)
             return True
 
         self.accum.push(
@@ -401,11 +404,20 @@ class MCL3DL:
         pts_base = mqn.rotate(inv_rot, pts - odom_pos).astype(np.float32)
         origins = np.stack(self._accum_origins, axis=0)
         origins_base = mqn.rotate(inv_rot, origins - odom_pos).astype(np.float32)
-        return self._measure_base(pts_base, labels, origins_base, t)
+        # The measurement is evaluated AND STAMPED at that same cloud
+        # stamp: the node publishes the pose with header.stamp =
+        # pc_accum_header_.back().stamp (src/mcl_3dl.cpp:317,712), and
+        # compare_pose/compare_tf interpolate the reference and look up
+        # TF at that stamp — so the map->odom composition must also use
+        # the odometry recorded at the accumulated cloud, not the newest.
+        return self._measure_base(pts_base, labels, origins_base,
+                                  self._accum_stamps[-1],
+                                  odom=(odom_pos, odom_rot))
 
     # ------------------------------------------------------- measurement step
 
-    def _measure_base(self, pts_base, labels, origins_base, t) -> MeasureResult:
+    def _measure_base(self, pts_base, labels, origins_base, t,
+                      odom=None) -> MeasureResult:
         # skip_measure decimation (src/mcl_3dl.cpp:306-310)
         self.cnt_measure += 1
         if self.cnt_measure % max(int(self.params.skip_measure), 1) != 0:
@@ -453,7 +465,8 @@ class MCL3DL:
             jnp.asarray(cloud), jnp.asarray(cloud_label),
             jnp.asarray(cloud_valid), jnp.asarray(normals),
             jnp.asarray(origins_arr),
-            jnp.asarray(self.odom_pos), jnp.asarray(self.odom_rot),
+            jnp.asarray(odom[0] if odom is not None else self.odom_pos),
+            jnp.asarray(odom[1] if odom is not None else self.odom_rot),
             self.state_prev_pos, self.state_prev_rot,
             self.f_pos, self.f_ang,
             jnp.asarray(self.global_localization_fix_cnt > 0),
@@ -529,6 +542,7 @@ class MCL3DL:
                 t, pts_map[matched_m], pts_map[unmatched_m])
 
         return MeasureResult(
+            stamp=t,
             pos=aux["pub_pos"], rot=aux["pub_rot"], cov=aux["cov"],
             map_to_odom_pos=aux["map_to_odom_pos"],
             map_to_odom_rot=aux["map_to_odom_rot"],
@@ -1014,6 +1028,8 @@ class MCL3DL:
         num_seeds: int = 1024,
         yaw_bins: Optional[int] = None,
         scan_points_base: Optional[np.ndarray] = None,
+        yaw_prior: Optional[tuple] = None,
+        seed_z: Optional[float] = None,
     ) -> int:
         """One-shot dense global localization (TPU-native addition).
 
@@ -1024,6 +1040,14 @@ class MCL3DL:
         with the IMU attitude like src/mcl_3dl.cpp:1087-1089).  Replaces
         the reference's 100k-particle seed-and-decay search with one
         device pass; the particle filter refines from there.
+
+        ``yaw_prior=(center, tol)`` restricts candidates to map yaws
+        within ``tol`` of ``center`` — the kidnapped-robot case: a
+        displacement cannot corrupt the gyro/gravity attitude estimate,
+        so when the IMU yaw is trusted the search needs position only
+        (and symmetric rooms stop being ambiguous).  ``seed_z`` pins the
+        seeded height (same-floor prior) instead of the standable-
+        surface lookup.
         """
         from mcl_3dl_tpu.map.correlative import (
             build_planar_field,
@@ -1063,6 +1087,15 @@ class MCL3DL:
             2.0 * np.pi * np.arange(nbins) / nbins, jnp.float32
         )
         scores = correlate_scan(field2d, scan_xyw, yaws)
+        if yaw_prior is not None:
+            # scan yaw in a bin means the SEEDED map yaw is bin + imu
+            # attitude; restrict bins so the composed yaw stays inside
+            # the prior band around ``center``
+            center, tol = yaw_prior
+            dy = np.arctan2(np.sin(np.asarray(yaws) - center),
+                            np.cos(np.asarray(yaws) - center))
+            bin_ok = jnp.asarray(np.abs(dy) <= tol)
+            scores = jnp.where(bin_ok[:, None, None], scores, -jnp.inf)
         xs, ys, yaw_is, vals = jax.device_get(
             top_candidates(scores, field2d, num_seeds)
         )
@@ -1073,36 +1106,60 @@ class MCL3DL:
             return int(self.pstate.n_active)
 
         # z from the nearest standable surface point (same surface model
-        # the reference seeds from, src/mcl_3dl.cpp:1050-1074)
+        # the reference seeds from, src/mcl_3dl.cpp:1050-1074), unless a
+        # same-floor prior pins it
+        cand_xy = np.stack([xs / w[0], ys / w[1]], axis=1)
+        if seed_z is not None:
+            zs = np.full(len(cand_xy), float(seed_z), np.float32)
+            return self._seed_correlative(cand_xy, zs, yaw_is, vals, nbins)
         grid = p.global_localization_grid_lin
         surf = voxel_downsample(self.map.points, grid)
         surf = surf[_standable_mask(surf, grid, p.dist_weight)]
         if len(surf) == 0:
             surf = self.map.points
-        cand_xy = np.stack([xs / w[0], ys / w[1]], axis=1)
         d2 = (
             (surf[None, :, 0] - cand_xy[:, None, 0]) ** 2
             + (surf[None, :, 1] - cand_xy[:, None, 1]) ** 2
         )
         zs = surf[np.argmin(d2, axis=1), 2]
+        return self._seed_correlative(cand_xy, zs, yaw_is, vals, nbins)
 
+    def _seed_correlative(self, cand_xy, zs, yaw_is, vals, nbins) -> int:
+        """Replace the particle set with score-weighted correlation
+        candidates (the tail of global_localization_correlative)."""
+        n = len(cand_xy)
         self._grow_capacity(n)
         cap = self.pstate.capacity
         idx = np.arange(cap)
         sel = np.minimum(idx, n - 1)
         pos = np.stack([cand_xy[sel, 0], cand_xy[sel, 1], zs[sel]], axis=1)
         yaw = 2.0 * np.pi * np.asarray(yaw_is)[sel] / nbins
-        rpy = np.stack([np.zeros(cap), np.zeros(cap), yaw], axis=1)
+        # Compose with the IMU attitude like the reference's seeding
+        # (src/mcl_3dl.cpp:1087-1089) — but where the reference sweeps
+        # EVERY yaw bin (so the imu yaw inside imu_quat_ is harmless),
+        # our candidates carry the ABSOLUTE map yaw of the correlation
+        # peak; subtract the imu yaw first or it would be double-counted
+        # and every seed would point the scan the wrong way.
+        imu_yaw = float(mqn.to_rpy(np.asarray(self.imu_quat, np.float64))[2])
+        rpy = np.stack([np.zeros(cap), np.zeros(cap), yaw - imu_yaw], axis=1)
         rot = mq.normalize(mq.mul(
             mq.from_rpy(jnp.asarray(rpy, jnp.float32)),
             jnp.asarray(self.imu_quat),
         ))
         active = idx < n
-        # seed weights proportional to the correlation score — unlike the
+        # Seed weights from the correlation score — unlike the
         # reference's uniform seeding we already know each hypothesis's
-        # field match, so the first refinement update starts informed
+        # field match.  The raw score is a SUM of per-point matches
+        # (same units as lidar_measurement_model_likelihood.cpp:120-138),
+        # under which near-tied hypotheses separate at only a few
+        # percent per update; exponentiating the relative score
+        # concentrates the particle budget on the top candidates so the
+        # filter needs refinement steps, not a random walk, to lock in.
         score = np.asarray(vals)[sel]
-        prob = np.where(active, score / max(score[:n].sum(), 1e-12), 0.0)
+        rel = score / max(float(np.max(vals)), 1e-12)
+        sharp = np.exp(-60.0 * (1.0 - rel))
+        prob = np.where(active, sharp, 0.0)
+        prob = prob / max(prob[:n].sum(), 1e-12)
         self.pstate = st.zeros(cap, n)._replace(
             pos=jnp.asarray(pos, jnp.float32),
             rot=rot,

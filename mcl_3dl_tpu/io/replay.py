@@ -45,6 +45,10 @@ class ReplayLog:
     ref_times: Optional[np.ndarray] = None     # reference trajectory
     ref_pos: Optional[np.ndarray] = None
     ref_rot: Optional[np.ndarray] = None
+    # scalar time of a recorded kidnap event (true pose teleport the
+    # odometry cannot see), or -1; gates exclude a bounded recovery
+    # window after it (tools/run_tier3.py)
+    kidnap_time: Optional[np.ndarray] = None
 
     def save(self, path):
         np.savez_compressed(path, **{
@@ -89,19 +93,27 @@ class ReplayDriver:
                     t,
                 )
                 if res is not None and res.pos is not None:
-                    self.poses.append((t, np.asarray(res.pos),
+                    # record at the measurement stamp (= last accumulated
+                    # cloud's stamp, mcl_3dl.cpp:317,712) — the stamp the
+                    # node publishes and compare_pose interpolates at
+                    ts = float(res.stamp) if res.stamp is not None else t
+                    self.poses.append((ts, np.asarray(res.pos),
                                        np.asarray(res.rot),
                                        np.asarray(res.cov)))
                     self.raw_poses.append(
-                        (t, np.asarray(res.raw_pos), np.asarray(res.raw_rot)))
+                        (ts, np.asarray(res.raw_pos), np.asarray(res.raw_rot)))
                     if self.on_pose:
-                        self.on_pose(t, res)
+                        self.on_pose(ts, res)
         return self.poses
 
-    def compare_to_reference(self, tolerance: float = 0.3):
+    def compare_to_reference(self, tolerance: float = 0.3,
+                             exclude: Optional[tuple] = None):
         """Mirror compare_pose.cpp:40-113: every output pose within
         ``tolerance`` of the time-interpolated reference position AND
         within 3 sigma of the self-reported covariance per axis.
+        ``exclude=(t0, t1)`` skips poses in a declared recovery window
+        (e.g. after a recorded kidnap event) — everything outside it is
+        still gated.
 
         Returns (max_error, violations list).
         """
@@ -109,6 +121,8 @@ class ReplayDriver:
         violations = []
         max_err = 0.0
         for t, pos, rot, cov in self.poses:
+            if exclude is not None and exclude[0] <= t <= exclude[1]:
+                continue
             j = np.searchsorted(self.log.ref_times, t)
             j = min(max(j, 1), len(self.log.ref_times) - 1)
             t0, t1 = self.log.ref_times[j - 1], self.log.ref_times[j]
@@ -125,7 +139,8 @@ class ReplayDriver:
                     violations.append((t, f"3sigma_axis{axis}", err_vec[axis]))
         return max_err, violations
 
-    def compare_tf(self, tolerance: float = 0.05):
+    def compare_tf(self, tolerance: float = 0.05,
+                   exclude: Optional[tuple] = None):
         """Mirror compare_tf.cpp:42-101: the TF-composed (LPF-smoothed)
         pose must agree with the published raw pose within ``tolerance``
         metres at every output.  Returns (max_diff, violations list).
@@ -133,6 +148,8 @@ class ReplayDriver:
         violations = []
         max_diff = 0.0
         for (t, pos, _, _), (_, raw, _) in zip(self.poses, self.raw_poses):
+            if exclude is not None and exclude[0] <= t <= exclude[1]:
+                continue
             diff = float(np.linalg.norm(pos - raw))
             max_diff = max(max_diff, diff)
             if diff > tolerance:

@@ -53,6 +53,8 @@ class Diagnostics:
 class MeasureResult:
     """Outputs of one measurement update (the amcl_pose + TF publishes)."""
 
+    stamp: object = None            # measurement time = last accumulated
+                                    # cloud's stamp (mcl_3dl.cpp:317,712)
     pos: object = None              # np [3] smoothed pose (map frame)
     rot: object = None              # np [4]
     cov: object = None              # np [6, 6]

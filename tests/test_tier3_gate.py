@@ -1,10 +1,18 @@
 """Tier-3 regression gate (reference: bag-replay CI stage,
-test/CMakeLists.txt:120-168) on the committed synthetic drive —
+test/CMakeLists.txt:120-168) on the committed synthetic drive v2 —
 compare_pose.cpp:89-98 position + 3-sigma gates AND the
 compare_tf.cpp:84-85 TF-agreement gate, via the same code path
-``tools/run_tier3.py`` uses.  The full 50-step x {imu, no-imu} result
-is stored in docs/TIER3_GATE.json; this test runs a 25-step slice to
-keep suite time bounded."""
+``tools/run_tier3.py`` uses.
+
+The drive is the FULL 60-step dual-LIDAR circuit with sharp corners and
+a mid-run kidnap; the gate therefore also exercises auto expansion
+resetting (src/mcl_3dl.cpp:853-864) and the correlative
+global-localization recovery, and re-applies the gates to every pose
+after the declared recovery window.  The committed two-variant
+(imu / no-imu) result lives in docs/TIER3_GATE.json; this test runs the
+with-imu variant end to end (the no-imu variant differs only in dropped
+IMU events and is covered by the committed artifact run).
+"""
 
 import sys
 from pathlib import Path
@@ -12,12 +20,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def test_tier3_gate_with_imu():
+def test_tier3_gate_full_drive_with_kidnap():
     from tools.make_tier3_log import build_log
     from tools.run_tier3 import run_gate
 
-    log = build_log(n_steps=25)
+    log = build_log(n_steps=60)
     res = run_gate(log, use_imu=True)
     assert res["pose_violations"] == 0, res
     assert res["tf_violations"] == 0, res
-    assert res["max_error_m"] <= 0.3 and res["max_tf_diff_m"] <= 0.05, res
+    assert res["max_error_m"] <= 0.3, res
+    # >20% TF margin (VERDICT r2 weak #5: 7% headroom flakes)
+    assert res["max_tf_diff_m"] <= 0.04, res
+    # the kidnap must actually exercise the recovery machinery
+    k = res["kidnap"]
+    assert k["auto_expansions"] >= 1, k
+    assert k["global_localization_calls"] == 1, k
+    assert k["poses_gated_after_recovery"] >= 10, k
+    assert res["pass"], res

@@ -10,6 +10,15 @@ Applies the reference's exact gate math:
     the published pose within 0.05 m.
 Run twice, with and without IMU, like test/CMakeLists.txt:147-159.
 
+The v2 drive embeds a KIDNAP event (true-pose teleport invisible to
+odometry).  The operator loop here mirrors what the reference's
+expansion-resetting / global-localization tests do
+(test/src/test_expansion_resetting.cpp, test_global_localization.cpp):
+when the engine reports auto expansion resetting (match ratio below
+threshold, src/mcl_3dl.cpp:853-864), it invokes the correlative
+global-localization service once.  Gates exclude a bounded
+RECOVERY_WINDOW after the kidnap and re-apply to every later pose.
+
 Prints one JSON object (committed as docs/TIER3_GATE.json).  Pass
 ``--log bag.npz`` to gate a converted real bag instead (the math is
 identical; only the input changes).
@@ -26,6 +35,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+RECOVERY_WINDOW = 1.0   # seconds after the kidnap excluded from gates
 
 
 def run_gate(log, use_imu=True):
@@ -46,12 +57,39 @@ def run_gate(log, use_imu=True):
             cloud_origin=log.cloud_origin[keep],
             cloud_frame=log.cloud_frame[keep],
         )
-    eng = MCL3DL(Params(**TIER3_PARAMS))
+    eng = MCL3DL(Params.from_dict(TIER3_PARAMS))
     driver = ReplayDriver(eng, log)
+
+    kidnap_t = float(log.kidnap_time) if log.kidnap_time is not None else -1.0
+    counters = {"expansions": 0, "gl_calls": 0}
+
+    def on_pose(t, res):
+        # operator recovery loop: the engine's auto expansion resetting
+        # flags the lost state; fire the one-shot correlative global
+        # localization (TPU-native replacement for the reference's
+        # 100k-seed search, src/mcl_3dl.cpp:1039-1099) the first time.
+        # A kidnap displaces the robot but cannot corrupt the attitude
+        # (gyro/gravity) or teleport it between floors, so the search
+        # carries a yaw prior from the still-valid estimate and a
+        # same-floor z prior — position is what's actually unknown.
+        if res.expanded:
+            counters["expansions"] += 1
+            if counters["gl_calls"] == 0:
+                from mcl_3dl_tpu.math import quat_np as mqn
+                yaw = float(mqn.to_rpy(np.asarray(res.rot, np.float64))[2])
+                eng.global_localization_correlative(
+                    num_seeds=512, yaw_prior=(yaw, 0.4),
+                    seed_z=float(res.pos[2]))
+                counters["gl_calls"] += 1
+
+    driver.on_pose = on_pose
     driver.run()
-    max_err, violations = driver.compare_to_reference(0.3)
-    tf_diff, tf_violations = driver.compare_tf(0.05)
-    return {
+    exclude = (kidnap_t, kidnap_t + RECOVERY_WINDOW) if kidnap_t > 0 else None
+    max_err, violations = driver.compare_to_reference(0.3, exclude=exclude)
+    tf_diff, tf_violations = driver.compare_tf(0.05, exclude=exclude)
+    n_after = sum(1 for (t, *_ ) in driver.poses
+                  if exclude is not None and t > exclude[1])
+    out = {
         "poses": len(driver.poses),
         "max_error_m": round(float(max_err), 4),
         "tolerance_m": 0.3,
@@ -61,6 +99,19 @@ def run_gate(log, use_imu=True):
         "tf_violations": len(tf_violations),
         "pass": not violations and not tf_violations,
     }
+    if kidnap_t > 0:
+        out["kidnap"] = {
+            "kidnap_time": kidnap_t,
+            "recovery_window_s": RECOVERY_WINDOW,
+            "poses_gated_after_recovery": n_after,
+            "auto_expansions": counters["expansions"],
+            "global_localization_calls": counters["gl_calls"],
+        }
+        # the event must actually have exercised the recovery machinery,
+        # and the drive must be long enough to re-gate afterwards
+        out["pass"] = (out["pass"] and counters["expansions"] > 0
+                       and counters["gl_calls"] > 0 and n_after >= 10)
+    return out
 
 
 def main():
@@ -81,7 +132,8 @@ def main():
         source = os.path.basename(args.log)
     else:
         log = build_log()
-        source = "synthetic_circuit_v1 (tools/make_tier3_log.py, seed 0)"
+        source = ("synthetic_circuit_v2 (tools/make_tier3_log.py, seed 0: "
+                  "dual-LIDAR, sharp corners, kidnap at step 24)")
 
     result = {
         "source": source,
