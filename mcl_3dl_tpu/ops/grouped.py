@@ -564,8 +564,8 @@ def grouped_like_score(
 # ---------------------------------------------------------------------------
 
 
-def _beam_kernel(tgrp_ref, meta_ref, pts_ref, aux_ref, tab_ref, a_ref,
-                 npen_ref, *, nprobe, trunc, grid_min, radius,
+def _beam_kernel(tgrp_ref, meta_ref, pts_ref, aux_ref, skip_ref, tab_ref,
+                 a_ref, npen_ref, *, nprobe, trunc, grid_min, radius,
                  hit_range, sin_total_ref, long_pen, tol):
     t = pl.program_id(0)
     b = pl.program_id(1)
@@ -580,7 +580,7 @@ def _beam_kernel(tgrp_ref, meta_ref, pts_ref, aux_ref, tab_ref, a_ref,
     l_b = jnp.floor((len_b + tol) / grid_min)
     d_entry_thr = trunc * 0.99
 
-    def body(s, carry):
+    def heavy(s, carry):
         # `found` carried as f32 0/1: a bool loop carry fails Mosaic's
         # scf.for legalization
         found_f, t_hit, d_hit, t_entry, d_entry = carry
@@ -609,6 +609,15 @@ def _beam_kernel(tgrp_ref, meta_ref, pts_ref, aux_ref, tab_ref, a_ref,
         d_hit = jnp.where(hit_now, d, d_hit)
         return (jnp.where(hit_now, 1.0, found_f), t_hit, d_hit,
                 t_entry, d_entry)
+
+    def body(s, carry):
+        # Probe skip: when every code this probe's (point, group) table
+        # can yield is >= the enter threshold (empty space — the common
+        # case for most of a long ray through a truncated field), the
+        # heavy path is an exact identity on the carry (d == trunc
+        # everywhere => enter and hit are both false), so skip it.
+        sk = skip_ref[b * nprobe * G_GROUPS + s * G_GROUPS + gsel]
+        return jax.lax.cond(sk == 0, heavy, lambda _s, c: c, s, carry)
 
     zero = jnp.zeros((8, 128), jnp.float32)
     init = (zero, zero, zero,
@@ -650,6 +659,8 @@ def grouped_beam_pen(
     meta: jnp.ndarray,         # [B*nprobe, G, 4] i32
     pts_fp: jnp.ndarray,       # [B*nprobe, 4] i32 — virtual points * 2^16
     aux: jnp.ndarray,          # [B, 2] i32 — (ray length * 2^16, valid)
+    skip: jnp.ndarray,         # [B*nprobe*G] i32 — 1 = table cannot
+                               # trigger enter/hit (probe-skip fast path)
     tables: jnp.ndarray,       # [B, nprobe, G, R, ZW] bf16 codes
     *,
     nprobe: int,
@@ -678,22 +689,23 @@ def grouped_beam_pen(
         tol=float(tol),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nt, bb),
         in_specs=[
             pl.BlockSpec(
                 (1, nprobe, 1, R_ROWS, ZW),
-                lambda t, b, tg, mt, pf, ax: (b, 0, tg[t], 0, 0),
+                lambda t, b, tg, mt, pf, ax, sk: (b, 0, tg[t], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 12, 8, 128),
-                lambda t, b, tg, mt, pf, ax: (t, 0, 0, 0),
+                lambda t, b, tg, mt, pf, ax, sk: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda t, b, tg, mt, pf, ax: (t, 0, 0),
+            pl.BlockSpec((1, 8, 128),
+                         lambda t, b, tg, mt, pf, ax, sk: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -703,7 +715,7 @@ def grouped_beam_pen(
         out_shape=[jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
     )(tile_group, meta.reshape(-1), pts_fp.reshape(-1), aux.reshape(-1),
-      tables, gp_A)
+      skip.reshape(-1), tables, gp_A)
     return npen.reshape(-1)
 
 

@@ -45,3 +45,39 @@ def test_fleet_step_runs_and_is_per_robot():
     # (smoothed, recomposed) pose must differ by the odom offset
     pub = np.asarray(aux["pub_pos"])
     assert not np.allclose(pub[0], pub[1], atol=1e-3)
+
+
+def test_fleet_step_16_robots_1k_particles():
+    """CI-sized slice of the BASELINE fleet config (1024 robots x 10k;
+    the 64x10k smoke runs in tools/exp_scaling.py with its committed
+    docs/SCALING_VMESH.json result): 16 robots x 1024 particles over the
+    ("robots", "particles") mesh, two chained steps, per-robot RNG."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    R, N = 16, 1024
+    eng, args = ge._build_engine_and_inputs(num_particles=N, cloud_points=256,
+                                            fast=True)
+    mesh = make_mesh(8, robots=8)
+
+    def batch(x):
+        return jnp.broadcast_to(x[None], (R,) + x.shape)
+
+    from mcl_3dl_tpu.parallel import shard_state
+    state_b = shard_state(jax.tree.map(batch, args[0]), mesh, batched=True)
+    keys = jax.random.split(jax.random.PRNGKey(3), R)
+    rest = (args[2], args[3], args[4], batch(args[5]), batch(args[6]),
+            batch(args[7]), batch(args[8]), batch(args[9]), batch(args[10]),
+            batch(args[11]), batch(args[12]), batch(args[13]),
+            jax.tree.map(batch, args[14]), jax.tree.map(batch, args[15]),
+            batch(args[16]))
+    step = fleet_filter_step(eng, mesh)
+    out = step(state_b, keys, *rest)
+    out = step(out[0], keys, *rest)
+    jax.block_until_ready(out)
+    aux = jax.device_get(out[-1])
+    e = np.asarray(aux["e_pos"])
+    assert e.shape == (R, 3) and np.isfinite(e).all()
+    # distinct per-robot RNG keys -> resampling noise decorrelates robots
+    assert not np.allclose(e[0], e[1], atol=1e-6)

@@ -10,6 +10,7 @@ Runs on 8 virtual CPU devices (no chip contention):
      BASELINE's 1024x10k config.
 """
 
+import json
 import os
 import sys
 import time
@@ -24,6 +25,7 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    result = {"A_sharded_scaling": [], "B_fleet": None}
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +58,11 @@ def main():
         dt = (time.monotonic() - t0) / iters
         aux = jax.device_get(out[-1])
         assert np.isfinite(poses[nd]).all()
+        result["A_sharded_scaling"].append({
+            "devices": nd, "particles": 65536,
+            "step_ms": round(dt * 1e3, 1),
+            "pose": [round(float(v), 4) for v in poses[nd]],
+        })
         print(f"A scaling: {nd} dev, 65536 particles: {dt*1e3:.0f} ms/step "
               f"pose={np.round(poses[nd], 4)}")
     for nd in (2, 4, 8):
@@ -94,9 +101,29 @@ def main():
     aux = jax.device_get(out[-1])
     e = np.asarray(aux["e_pos"])
     assert e.shape == (robots, 3) and np.isfinite(e).all()
+    # steady-state step timing (post-compile)
+    t0 = time.monotonic()
+    iters = 3
+    for _ in range(iters):
+        out = step(out[0], keys, args2[2], args2[3], args2[4],
+                   cloud_b, label_b, valid_b, normals_b, origins_b,
+                   o_pos, o_rot, p_pos, p_rot, f_pos_b, f_ang_b, gfix)
+    jax.block_until_ready(out)
+    dt = (time.monotonic() - t0) / iters
+    result["B_fleet"] = {
+        "robots": robots, "particles_per_robot": npart,
+        "step_ms": round(dt * 1e3, 1),
+        "pose0": [round(float(v), 3) for v in e[0]],
+    }
     print(f"B fleet: {robots} robots x {npart} particles "
-          f"(compile+step {time.monotonic()-t0:.0f}s) pose[0]="
+          f"({dt*1e3:.0f} ms/step on 8 virtual CPU devices) pose[0]="
           f"{np.round(e[0], 3)} OK")
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "SCALING_VMESH.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {os.path.normpath(path)}")
 
 
 if __name__ == "__main__":

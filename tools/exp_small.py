@@ -1,0 +1,89 @@
+"""Small-count latency sweep on the real chip (VERDICT r2 item 5).
+
+The reference node's actual operating point is 64-500 particles at
+sensor rate (src/parameters.cpp:118 default num_particles=64, ~10 Hz
+demo).  This measures the fused measurement step's wall latency at
+64 / 512 / 16384 particles with VALUE-FETCH timing (block_until_ready
+lies through the axon relay — see bench.py), steady state, one process
+on the chip.
+
+Writes docs/SMALL_COUNT.json.  Run SOLO on the chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_config(n_particles, iters=50):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        eng, args_cpu = ge._build_engine_and_inputs(
+            num_particles=n_particles, cloud_points=4096, seed=0, fast=True)
+    args = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), args_cpu)
+    step = jax.jit(eng._measurement_step)
+
+    t0 = time.monotonic()
+    out = step(*args)
+    _ = float(np.asarray(out[0].prob[0]))
+    compile_s = time.monotonic() - t0
+
+    keys = jax.random.split(args[1], iters + 8)
+    state = out[0]
+    for i in range(6):   # converge to steady state
+        out = step(state, keys[i], *args[2:])
+        state = out[0]
+    _ = float(np.asarray(state.prob[0]))
+
+    t0 = time.monotonic()
+    for i in range(iters):
+        out = step(state, keys[6 + i], *args[2:])
+        state = out[0]
+    _ = float(np.asarray(state.prob[0]))
+    dt = (time.monotonic() - t0) / iters
+
+    like_pts = eng.params.likelihood.num_points
+    beam_pts = eng.params.beam.num_points
+    tier_like = int(np.asarray(out[-1]["tier_like"]))
+    tier_beam = int(np.asarray(out[-1]["tier_beam"]))
+    row = {
+        "num_particles": n_particles,
+        "step_ms": round(dt * 1e3, 3),
+        "updates_per_sec": round(1.0 / dt, 1),
+        "evals_per_sec": float(n_particles * (like_pts + beam_pts) / dt),
+        "tier_like": tier_like,
+        "tier_beam": tier_beam,
+        "compile_s": round(compile_s, 1),
+        "iters": iters,
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    rows = [run_config(n) for n in (64, 512, 16384)]
+    out = {
+        "note": "fused measurement step, steady state, value-fetch timing "
+                "through the axon relay; reference operating point is "
+                "64 particles at ~10 Hz (src/parameters.cpp:118)",
+        "configs": rows,
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "SMALL_COUNT.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {os.path.normpath(path)}")
+
+
+if __name__ == "__main__":
+    main()
