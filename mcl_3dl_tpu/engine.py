@@ -1088,9 +1088,9 @@ class MCL3DL:
         )
         scores = correlate_scan(field2d, scan_xyw, yaws)
         if yaw_prior is not None:
-            # scan yaw in a bin means the SEEDED map yaw is bin + imu
-            # attitude; restrict bins so the composed yaw stays inside
-            # the prior band around ``center``
+            # the seeded map yaw equals the bin yaw (_seed_correlative
+            # subtracts imu_yaw before composing with imu_quat), so
+            # filtering bins directly against the prior center is exact
             center, tol = yaw_prior
             dy = np.arctan2(np.sin(np.asarray(yaws) - center),
                             np.cos(np.asarray(yaws) - center))

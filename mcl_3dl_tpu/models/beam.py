@@ -460,9 +460,19 @@ def beam_measure_grouped(
         aux = jnp.stack(
             [jnp.round(vp.length * 65536.0).astype(jnp.int32),
              valid.astype(jnp.int32)], axis=-1)                # [B, 2]
+        # Probe-skip mask: the kernel's heavy path is an exact identity
+        # when every distance this probe's (point, group) table can
+        # yield (min code * trunc/255; out-of-window reads give 255 =
+        # trunc) is >= the enter threshold trunc*0.99 AND > the
+        # collision radius — empty space, the common case for most of a
+        # long ray through a truncated field.
+        min_d = (tables.astype(jnp.float32).min(axis=(-2, -1))
+                 * float(df_beam.trunc / 255.0))               # [K, G]
+        skip = ((min_d >= float(df_beam.trunc) * 0.99)
+                & (min_d > radius)).astype(jnp.int32)
         npen_sorted = og.grouped_beam_pen(
             layout.A, layout.tile_group, og.make_meta(lo, z_used),
-            og.points_fp(vp.vpf), aux,
+            og.points_fp(vp.vpf), aux, skip,
             tables.reshape(bb, nprobe, og.G_GROUPS, og.R_ROWS, og.ZW),
             nprobe=nprobe, trunc=float(df_beam.trunc),
             grid_min=float(map_grid_min), radius=radius,
