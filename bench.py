@@ -110,20 +110,95 @@ def main():
         f"| tiers: like={tier_like} beam={tier_beam}",
         file=sys.stderr,
     )
+
+    extra = {
+        "filter_updates_per_sec": updates_per_sec,
+        "num_particles": n_particles,
+        "points_per_particle": like_pts + beam_pts,
+        "step_ms": dt * 1e3,
+        "baseline_evals_per_sec": baseline,
+        "tier_like": tier_like,
+        "tier_beam": tier_beam,
+    }
+
+    if not quick and not os.environ.get("BENCH_HEADLINE_ONLY"):
+        # --- fallback row: unconverged spread (startup / kidnapped /
+        # global localization) — the grouped envelopes cannot fit, so
+        # this is the honest cost whenever tracking is NOT converged.
+        # Same compiled graph (tiers are lax.cond); the state is pinned
+        # wide each iteration with a value-preserving data dependency on
+        # the previous step so the relay timing still chains.
+        with jax.default_device(cpu):
+            eng.initial_pose(
+                np.zeros(3), np.asarray([0.0, 0.0, 0.0, 1.0]),
+                np.diag([1.0, 1.0, 1.0, 0.1, 0.1, 1.0]),
+            )
+            wide_cpu = eng.pstate
+        wide = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), wide_cpu)
+        wout = step(wide, keys[0], *args[2:])
+        _ = float(np.asarray(wout[0].prob[0]))          # compile-check/warm
+        t0 = time.monotonic()
+        iters_fb = 5
+        for i in range(iters_fb):
+            dep = wout[0].prob[0] * 0.0
+            pinned = wide._replace(pos=wide.pos + dep)
+            wout = step(pinned, keys[1 + i], *args[2:])
+        _ = float(np.asarray(wout[0].prob[0]))
+        dt_fb = (time.monotonic() - t0) / iters_fb
+        extra["fallback_step_ms"] = dt_fb * 1e3
+        extra["fallback_tier_like"] = int(np.asarray(wout[-1]["tier_like"]))
+        extra["fallback_tier_beam"] = int(np.asarray(wout[-1]["tier_beam"]))
+        print(
+            f"fallback (unconverged) step: {dt_fb*1e3:.2f} ms | tiers: "
+            f"like={extra['fallback_tier_like']} "
+            f"beam={extra['fallback_tier_beam']}",
+            file=sys.stderr,
+        )
+
+        # --- default-config row: interp=trilinear (config.py default,
+        # the Tier-3 correctness gate's configuration) at steady state.
+        cpu2 = jax.devices("cpu")[0]
+        with jax.default_device(cpu2):
+            eng_d, args_d_cpu = ge._build_engine_and_inputs(
+                num_particles=n_particles, cloud_points=4096, seed=0,
+                fast=False,
+            )
+        args_d = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                              args_d_cpu)
+        step_d = jax.jit(eng_d._measurement_step)
+        t0 = time.monotonic()
+        out_d = step_d(*args_d)
+        _ = float(np.asarray(out_d[0].prob[0]))
+        print(f"default compile+first-run: {time.monotonic()-t0:.1f}s",
+              file=sys.stderr)
+        state_d = out_d[0]
+        for i in range(6):
+            out_d = step_d(state_d, keys[i], *args_d[2:])
+            state_d = out_d[0]
+        _ = float(np.asarray(state_d.prob[0]))
+        t0 = time.monotonic()
+        iters_d = 10
+        for i in range(iters_d):
+            out_d = step_d(state_d, keys[6 + i], *args_d[2:])
+            state_d = out_d[0]
+        _ = float(np.asarray(state_d.prob[0]))
+        dt_d = (time.monotonic() - t0) / iters_d
+        extra["default_step_ms"] = dt_d * 1e3
+        extra["default_tier_like"] = int(np.asarray(out_d[-1]["tier_like"]))
+        extra["default_tier_beam"] = int(np.asarray(out_d[-1]["tier_beam"]))
+        print(
+            f"default (trilinear) step: {dt_d*1e3:.2f} ms | tiers: "
+            f"like={extra['default_tier_like']} "
+            f"beam={extra['default_tier_beam']}",
+            file=sys.stderr,
+        )
+
     print(json.dumps({
         "metric": "particle_likelihood_evals_per_sec_chip",
         "value": evals_per_sec,
         "unit": "evals/s",
         "vs_baseline": evals_per_sec / baseline,
-        "extra": {
-            "filter_updates_per_sec": updates_per_sec,
-            "num_particles": n_particles,
-            "points_per_particle": like_pts + beam_pts,
-            "step_ms": dt * 1e3,
-            "baseline_evals_per_sec": baseline,
-            "tier_like": tier_like,
-            "tier_beam": tier_beam,
-        },
+        "extra": extra,
     }))
 
 

@@ -43,14 +43,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
-        lib.mcl3dl_build_occupancy.restype = ctypes.c_int
-        lib.mcl3dl_build_occupancy.argtypes = [
+        lib.mcl3dl_build_occupancy_rep.restype = ctypes.c_int
+        lib.mcl3dl_build_occupancy_rep.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_double),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint32),
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         _lib = lib
     except OSError:
@@ -88,14 +89,17 @@ def build_distance_field_native(
     return field.reshape(nx, ny, nz)
 
 
-def build_occupancy_native(
+def build_occupancy_rep_native(
     points: np.ndarray, labels: Optional[np.ndarray], cell: float,
-    origin: np.ndarray, dims,
+    origin: np.ndarray, dims, rep_points: int,
 ):
-    """Occupancy/min-label/mean-point build in C++.
+    """Occupancy/min-label/representative-point build in C++ — the
+    native twin of ``occupancy.build_occupancy_grid`` (identical
+    REP_POINTS stride sampling and uint8 offset quantization, so the
+    grids are bit-identical).
 
-    Returns (occupied bool, min_label u32, mean_point u8 offsets) flat
-    arrays, or None when unavailable.
+    Returns flat ``(occupied bool [V], min_label u32 [V],
+    rep_offsets u8 [V, rep_points, 3])`` or None when unavailable.
     """
     lib = _load()
     if lib is None:
@@ -108,26 +112,19 @@ def build_occupancy_native(
     org = np.ascontiguousarray(origin, np.float64)
     occupied = np.zeros(total, np.uint8)
     min_label = np.full(total, 0xFFFFFFFF, np.uint32)
-    sum_xyz = np.zeros(total * 3, np.float32)
-    count = np.zeros(total, np.int32)
-    rc = lib.mcl3dl_build_occupancy(
+    rep = np.full(total * rep_points * 3, 127, np.uint8)
+    rc = lib.mcl3dl_build_occupancy_rep(
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)) if lbl is not None
         else None,
         pts.shape[0], float(cell),
         org.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        nx, ny, nz,
+        nx, ny, nz, int(rep_points),
         occupied.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         min_label.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        sum_xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        count.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if rc != 0:
         return None
-    cnt = np.maximum(count, 1)[:, None]
-    mean = sum_xyz.reshape(total, 3) / cnt
-    idx = np.stack(np.unravel_index(np.arange(total), (nx, ny, nz)), axis=1)
-    off = mean / cell - (np.asarray(origin) / cell + idx)
-    off_q = np.clip(np.round(off * 255.0), 0, 255).astype(np.uint8)
-    off_q[count == 0] = 127
-    return occupied.astype(bool), min_label, off_q
+    return (occupied.astype(bool), min_label,
+            rep.reshape(total, rep_points, 3))

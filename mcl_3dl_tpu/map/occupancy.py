@@ -106,6 +106,21 @@ def build_occupancy_grid(
     dims = ((points.max(axis=0) - origin) / cell).astype(np.int64) + 1
     nx, ny, nz = (int(d) for d in dims)
 
+    from mcl_3dl_tpu.map import native as _native
+
+    nat = _native.build_occupancy_rep_native(
+        points, labels, cell, origin, dims, REP_POINTS)
+    if nat is not None:
+        occupied_n, min_label_n, rep_n = nat
+        return OccupancyGrid(
+            occupied=jnp.asarray(occupied_n.reshape(nx, ny, nz)),
+            min_label=jnp.asarray(min_label_n.reshape(nx, ny, nz)),
+            rep_point=jnp.asarray(
+                rep_n.reshape(nx, ny, nz, REP_POINTS, 3)),
+            origin=jnp.asarray(origin, jnp.float32),
+            cell=float(cell),
+        )
+
     idx = np.clip(
         np.floor((points - origin) / cell).astype(np.int64), 0, dims - 1
     )

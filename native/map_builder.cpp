@@ -107,14 +107,24 @@ int mcl3dl_build_distance_field(const double* points, int64_t n,
   return 0;
 }
 
-// Occupancy + min-label + mean-point build (raycast_using_dda.h:162-190
-// equivalent).  points: [n, 3] float64 raw coords; labels: [n] uint32.
-int mcl3dl_build_occupancy(const double* points, const uint32_t* labels,
-                           int64_t n, double cell, const double* origin,
-                           int64_t nx, int64_t ny, int64_t nz,
-                           uint8_t* occupied, uint32_t* min_label,
-                           float* sum_xyz, int32_t* count) {
+// Occupancy + min-label + representative-point build — the native twin
+// of mcl_3dl_tpu/map/occupancy.build_occupancy_grid (the reference
+// builds per-voxel point lists in raycast_using_dda.h:162-190; here up
+// to rep_points stride-sampled representatives per voxel, quantized to
+// uint8 cell offsets, exactly like the numpy path so either builder
+// yields bit-identical grids).
+//
+// points: [n, 3] float64 raw coords; labels: [n] uint32 (or null).
+// occupied/min_label: [nx*ny*nz], caller-initialized to 0 / 0xFFFFFFFF.
+// rep_offsets: [nx*ny*nz * rep_points * 3] uint8, caller-filled 127.
+int mcl3dl_build_occupancy_rep(const double* points, const uint32_t* labels,
+                               int64_t n, double cell, const double* origin,
+                               int64_t nx, int64_t ny, int64_t nz,
+                               int32_t rep_points,
+                               uint8_t* occupied, uint32_t* min_label,
+                               uint8_t* rep_offsets) {
   const Dims dims{nx, ny, nz};
+  std::vector<int64_t> flat(n);
   for (int64_t i = 0; i < n; ++i) {
     int64_t x = static_cast<int64_t>(
         std::floor((points[i * 3 + 0] - origin[0]) / cell));
@@ -125,14 +135,46 @@ int mcl3dl_build_occupancy(const double* points, const uint32_t* labels,
     x = std::min(std::max<int64_t>(x, 0), nx - 1);
     y = std::min(std::max<int64_t>(y, 0), ny - 1);
     z = std::min(std::max<int64_t>(z, 0), nz - 1);
-    const int64_t idx = flat_index(dims, x, y, z);
+    flat[i] = flat_index(dims, x, y, z);
+  }
+  // stable sort by voxel: within a voxel, representatives are picked in
+  // original point order (matches numpy argsort(kind="stable"))
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return flat[a] < flat[b]; });
+
+  const int64_t denom = std::max<int64_t>(rep_points - 1, 1);
+  for (int64_t s = 0; s < n;) {
+    int64_t e = s;
+    const int64_t idx = flat[order[s]];
+    uint32_t lbl_min = 0xFFFFFFFFu;
+    while (e < n && flat[order[e]] == idx) {
+      const uint32_t lbl = labels ? labels[order[e]] : 0u;
+      lbl_min = std::min(lbl_min, lbl);
+      ++e;
+    }
     occupied[idx] = 1;
-    const uint32_t lbl = labels ? labels[i] : 0u;
-    if (lbl < min_label[idx]) min_label[idx] = lbl;
-    sum_xyz[idx * 3 + 0] += static_cast<float>(points[i * 3 + 0]);
-    sum_xyz[idx * 3 + 1] += static_cast<float>(points[i * 3 + 1]);
-    sum_xyz[idx * 3 + 2] += static_cast<float>(points[i * 3 + 2]);
-    count[idx] += 1;
+    min_label[idx] = lbl_min;
+    const int64_t cnt = e - s;
+    const int64_t vz = idx % nz;
+    const int64_t vy = (idx / nz) % ny;
+    const int64_t vx = idx / (nz * ny);
+    const int64_t v[3] = {vx, vy, vz};
+    for (int32_t r = 0; r < rep_points; ++r) {
+      const int64_t j = order[s + (r * (cnt - 1)) / denom];
+      for (int a = 0; a < 3; ++a) {
+        const double off =
+            points[j * 3 + a] / cell - (origin[a] / cell + v[a]);
+        // nearbyint under the default FE_TONEAREST mode = round half
+        // to even, matching np.round
+        double q = std::nearbyint(off * 255.0);
+        q = std::min(std::max(q, 0.0), 255.0);
+        rep_offsets[(idx * rep_points + r) * 3 + a] =
+            static_cast<uint8_t>(q);
+      }
+    }
+    s = e;
   }
   return 0;
 }

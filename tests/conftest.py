@@ -13,9 +13,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # slow interpret-mode shards reach collectives staggered; the
+    # default 40 s rendezvous termination aborts the process
+    flags = (
+        flags
+        + " --xla_cpu_collective_call_warn_stuck_seconds=300"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

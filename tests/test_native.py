@@ -31,20 +31,30 @@ def test_native_distance_field_matches_numpy():
 
 
 @pytest.mark.skipif(not native.native_available(), reason="native lib absent")
-def test_native_occupancy_matches_numpy():
+def test_native_occupancy_rep_matches_numpy():
+    """build_occupancy_grid routes through the native REP_POINTS builder
+    when available; the numpy fallback must produce a BIT-IDENTICAL grid
+    (same stride-sampled representatives, same uint8 quantization)."""
     rng = np.random.default_rng(1)
     points = rng.uniform(0.0, 3.0, (500, 3))
     labels = rng.integers(0, 5, 500).astype(np.uint32)
-    origin = points.min(axis=0)
-    dims = ((points.max(axis=0) - origin) / 0.2).astype(np.int64) + 1
-
-    out = native.build_occupancy_native(points, labels, 0.2, origin, dims)
-    assert out is not None
-    occupied, min_label, mean_off = out
 
     from mcl_3dl_tpu.map.occupancy import build_occupancy_grid
 
-    grid = build_occupancy_grid(points, 0.2, labels)
-    assert (np.asarray(grid.occupied).reshape(-1) == occupied).all()
-    got_lbl = np.asarray(grid.min_label).reshape(-1)
-    assert (got_lbl == min_label).all()
+    grid_nat = build_occupancy_grid(points, 0.2, labels)
+
+    orig = native.build_occupancy_rep_native
+    try:
+        native.build_occupancy_rep_native = lambda *a, **k: None
+        grid_np = build_occupancy_grid(points, 0.2, labels)
+    finally:
+        native.build_occupancy_rep_native = orig
+
+    assert (np.asarray(grid_nat.occupied)
+            == np.asarray(grid_np.occupied)).all()
+    assert (np.asarray(grid_nat.min_label)
+            == np.asarray(grid_np.min_label)).all()
+    assert (np.asarray(grid_nat.rep_point)
+            == np.asarray(grid_np.rep_point)).all()
+    np.testing.assert_allclose(np.asarray(grid_nat.origin),
+                               np.asarray(grid_np.origin))

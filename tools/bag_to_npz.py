@@ -274,6 +274,18 @@ class TfBuffer:
             tr.append(t)
             qu.append(q)
 
+    def finalize(self):
+        """Sort each dynamic series by stamp: bag records are only
+        approximately time-ordered (chunked writers interleave), and
+        ``get`` uses searchsorted."""
+        for key, (ts, tr, qu) in self.dynamic.items():
+            order = np.argsort(ts, kind="stable")
+            self.dynamic[key] = (
+                [ts[i] for i in order],
+                [tr[i] for i in order],
+                [qu[i] for i in order],
+            )
+
     def get(self, parent, child, stamp):
         if (parent, child) in self.static:
             return self.static[(parent, child)]
@@ -344,6 +356,7 @@ def main():
             for stamp, parent, child, tr, qu in decode_tf(data):
                 tfbuf.add(stamp, parent, child, tr, qu,
                           is_static=topic_of[cid] == "/tf_static")
+    tfbuf.finalize()
 
     cloud_topics = (args.cloud_topic.split(",") if args.cloud_topic else None)
 
