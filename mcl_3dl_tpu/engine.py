@@ -133,6 +133,10 @@ class MCL3DL:
 
         self.state_prev_pos = jnp.asarray(mean_pos, jnp.float32)
         self.state_prev_rot = mq.from_rpy(jnp.asarray(mean_rpy, jnp.float32))
+        # TF smoothers start at the identity transform (mcl_3dl.cpp:
+        # 1278-1285 does the same); re-seeded with a consistent
+        # map->odom at the first measurement once odometry exists
+        self._tf_seeded = False
 
         self.tf_tolerance_base = 0.0
         self.localized_last: float = 0.0
@@ -350,6 +354,15 @@ class MCL3DL:
         """
         if not self.has_map:
             return None
+        if not self.has_odom:
+            # The node's accumCloud TF lookup (cloud -> odom,
+            # src/mcl_3dl.cpp:283-287) fails until odometry — real or
+            # fake_odom-synthesized from the IMU — has published the
+            # odom frame; it catches the exception and skips the cloud
+            # (tolerated by test_transform_failure.cpp).  Without this,
+            # a cloud recorded in the odom frame would be measured
+            # against a stale identity odom attitude.
+            return None
         self.status = Status(
             status=FilterStatus.NORMAL,
             error=ErrorCode.NORMAL,
@@ -455,6 +468,29 @@ class MCL3DL:
         origins_arr = np.zeros((n_origins, 3), np.float32)
         if len(origins_base):
             origins_arr[: len(origins_base)] = origins_base
+
+        if not self._tf_seeded:
+            # Seed the TF smoothers with the CURRENT map->odom at the
+            # first measurement: the configure-time identity seed
+            # (mirroring mcl_3dl.cpp:1278-1285) is only consistent when
+            # odometry starts near identity — under fake_odom the odom
+            # frame carries the IMU attitude from the start, and the
+            # cold smoother would drag the first published poses toward
+            # the identity transform (sub-jump_dist, so the in-step
+            # jump reset never fires).
+            op = np.asarray(odom[0] if odom is not None else self.odom_pos,
+                            np.float64)
+            orot = np.asarray(odom[1] if odom is not None else self.odom_rot,
+                              np.float64)
+            pp = np.asarray(self.state_prev_pos, np.float64)
+            pr = np.asarray(self.state_prev_rot, np.float64)
+            mrot = mqn.mul(pr, mqn.inv(orot))
+            mpos = pp - mqn.rotate(mrot, op)
+            self.f_ang = mf.filter_set(
+                self.f_ang, jnp.asarray(mqn.to_rpy(mrot), jnp.float32))
+            self.f_pos = mf.filter_set(
+                self.f_pos, jnp.asarray(mpos, jnp.float32))
+            self._tf_seeded = True
 
         step = self._step
         (self.pstate, self.f_pos, self.f_ang, self.state_prev_pos,

@@ -460,16 +460,20 @@ def beam_measure_grouped(
         aux = jnp.stack(
             [jnp.round(vp.length * 65536.0).astype(jnp.int32),
              valid.astype(jnp.int32)], axis=-1)                # [B, 2]
-        # Probe-skip mask: the kernel's heavy path is an exact identity
-        # when every distance this probe's (point, group) table can
-        # yield (min code * trunc/255; out-of-window reads give 255 =
-        # trunc) is >= the enter threshold trunc*0.99 AND > the
-        # collision radius — empty space, the common case for most of a
-        # long ray through a truncated field.
-        min_d = (tables.astype(jnp.float32).min(axis=(-2, -1))
-                 * float(df_beam.trunc / 255.0))               # [K, G]
-        skip = ((min_d >= float(df_beam.trunc) * 0.99)
-                & (min_d > radius)).astype(jnp.int32)
+        # Block-skip words: a 16-row table block whose minimum distance
+        # (min code * trunc/255 over the envelope's reachable z band;
+        # out-of-window reads give 255 = trunc) is >= the enter
+        # threshold trunc*0.99 AND > the collision radius is an exact
+        # no-op in the kernel (its rows can neither enter nor hit); a
+        # probe with ALL blocks skippable is empty space and skips
+        # entirely — the common case for most of a long ray through a
+        # truncated field.
+        min_d = og.block_min_dist(
+            tables, float(df_beam.trunc), lo=lo, z_used=z_used,
+            bands=og.query_bands(stats, vp.vpf))               # [K, G, B]
+        skip = og.pack_block_skip(
+            (min_d >= jnp.float32(float(df_beam.trunc) * 0.99))
+            & (min_d > jnp.float32(radius)))
         npen_sorted = og.grouped_beam_pen(
             layout.A, layout.tile_group, og.make_meta(lo, z_used),
             og.points_fp(vp.vpf), aux, skip,

@@ -93,9 +93,18 @@ def grouped_like_apply(df, stats, layout, lo, points, valid, *,
     nzp = df.field2d.shape[1]
     trunc = float(df.trunc)
     tables, z_used = og.extract_tables(df.field2d, ny, nzp, lo, valid, trunc)
+    # Block-skip words: a 16-row block whose minimum distance (over the
+    # envelope's reachable z band) exceeds match_dist_min can only
+    # produce unmatched rows (contribution 0, match 0 — exactly the
+    # fill value's effect), so the kernel elides its 16 lane-gathers; a
+    # fully-skippable (point, group) table skips the whole point.
+    min_d = og.block_min_dist(
+        tables, trunc, lo=lo, z_used=z_used,
+        bands=og.query_bands(stats, points))                  # [K, G, B]
+    skipw = og.pack_block_skip(min_d > jnp.float32(match_dist_min))
     s_sorted, m_sorted = og.grouped_like_score(
         layout.A, layout.tile_group, og.make_meta(lo, z_used),
-        og.points_fp(points), tables,
+        og.points_fp(points), skipw, tables,
         match_dist_min=float(match_dist_min),
         match_dist_flat=float(match_dist_flat),
         match_weight=float(match_weight),

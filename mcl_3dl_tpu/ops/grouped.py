@@ -414,7 +414,78 @@ def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
     return codes, z_used
 
 
-def _row_select(read_block, row, lane, fill):
+NBLK = R_ROWS // 16            # 16-row table blocks per window
+SKIP_ALL = (1 << NBLK) - 1     # skip word with every block bit set
+
+
+def pack_block_skip(skip_bool):
+    """Pack a [..., NBLK] bool block-skip mask into i32 words (bit b =
+    block b).  A set bit certifies the block cannot contribute (its
+    minimum distance fails every trigger threshold), so the kernels'
+    row loop may leave the fill value in place — an exact no-op."""
+    bits = skip_bool.astype(jnp.int32) << jnp.arange(NBLK, dtype=jnp.int32)
+    return jnp.sum(bits, axis=-1).astype(jnp.int32)
+
+
+def query_bands(stats: GroupStats, pts):
+    """Conservative per-(point, bin) query intervals [lo, hi] in cell
+    indices for each axis — ``group_boxes``'s interval arithmetic,
+    recomputed with the identical f32 op sequence.  Every in-envelope
+    particle's kernel query lands inside the bands (the kernel rounds
+    ``u`` with u in [lo, hi] => round(u) in [floor(lo), ceil(hi)]);
+    envelope outliers and inactive slots live in the last bin, whose
+    kernel output is exactly rescored / never read, so their queries
+    don't matter.  Returns ``[(x_lo, x_hi), (y_lo, y_hi), (z_lo,
+    z_hi)]`` of [K, G] i32 pairs."""
+    p = pts.astype(jnp.float32)
+    out = []
+    for i in range(3):
+        lo_i = stats.a_min[:, 9 + i][None, :]
+        hi_i = stats.a_max[:, 9 + i][None, :]
+        for j in range(3):
+            amin = stats.a_min[:, 3 * i + j][None, :]
+            amax = stats.a_max[:, 3 * i + j][None, :]
+            pj = p[:, j][:, None]
+            lo_i = lo_i + jnp.minimum(amin * pj, amax * pj)
+            hi_i = hi_i + jnp.maximum(amin * pj, amax * pj)
+        out.append((jnp.floor(lo_i).astype(jnp.int32),
+                    jnp.ceil(hi_i).astype(jnp.int32)))
+    return out
+
+
+def block_min_dist(tables, trunc, lo=None, z_used=None, bands=None):
+    """Per-16-row-block minimum distance [..., NBLK] of a [..., R, ZW]
+    bf16 code table, computed with the kernels' exact f32 scaling
+    (code * trunc/255) so threshold comparisons are bit-consistent.
+
+    ``lo`` [K, G, 3] (window origin), ``z_used`` [K, G] (window z
+    origin) and ``bands`` (from :func:`query_bands`) restrict the min
+    to cells an in-envelope particle can actually select.  Without the
+    restriction the 12x12x128 window min is hugely conservative — the
+    z window alone spans the room height, so the nearest surface
+    anywhere in the column (the floor, typically) pulls every block's
+    min below threshold and nothing skips; the envelope's true query
+    extents are a few cells per axis at converged tracking.  Cells
+    outside the bands are unreachable in-envelope, so excluding them
+    keeps the skip exact."""
+    lead = tables.shape[:-2]
+    if bands is not None:
+        xb, yb, zb = bands
+        ax = lo[..., 0, None] + jnp.arange(BX, dtype=jnp.int32)  # [K, G, BX]
+        ay = lo[..., 1, None] + jnp.arange(BY, dtype=jnp.int32)
+        mx = (ax >= xb[0][..., None]) & (ax <= xb[1][..., None])
+        my = (ay >= yb[0][..., None]) & (ay <= yb[1][..., None])
+        rowm = (mx[..., :, None] & my[..., None, :]).reshape(
+            lead + (R_ROWS,))
+        z_abs = z_used[..., None] + jnp.arange(ZW, dtype=jnp.int32)
+        mz = (z_abs >= zb[0][..., None]) & (z_abs <= zb[1][..., None])
+        keep = rowm[..., None] & mz[..., None, :]            # [K, G, R, ZW]
+        tables = jnp.where(keep, tables, jnp.bfloat16(255.0))
+    m = tables.reshape(lead + (NBLK, 16, ZW)).min(axis=(-2, -1))
+    return m.astype(jnp.float32) * jnp.float32(trunc / 255.0)
+
+
+def _row_select(read_block, row, lane, fill, skip_word=None):
     """Full-2D lookup: loop table rows, lane-gather, select on row match
     — the scheme ops/local_gather.py sustains ~2.5G lookups/s with.  (An
     MXU one-hot-matmul variant was tried and measured 3x slower end to
@@ -427,11 +498,14 @@ def _row_select(read_block, row, lane, fill):
     sublane-alignment proving under the (16, 128) bf16 tiling — a
     ``pl.ds(b*16, 16)`` block start is provably aligned.  Returns
     selected codes [8, 128] f32.
-    """
-    nblk = R_ROWS // 16
-    assert nblk * 16 == R_ROWS
 
-    def body(bidx, d):
+    ``skip_word``: optional packed per-block skip bits (bit b set =
+    block b's rows can only yield codes the caller's thresholds treat
+    exactly like the fill value, so the 16 lane-gathers are elided).
+    """
+    assert NBLK * 16 == R_ROWS
+
+    def heavy(bidx, d):
         blk = read_block(bidx).astype(jnp.float32)          # [16, ZW]
         for j in range(16):
             rowb = jnp.broadcast_to(blk[j:j + 1, :], row.shape)
@@ -439,11 +513,19 @@ def _row_select(read_block, row, lane, fill):
             d = jnp.where(row == bidx * 16 + j, v, d)
         return d
 
+    if skip_word is None:
+        body = heavy
+    else:
+        def body(bidx, d):
+            return jax.lax.cond(
+                ((skip_word >> bidx) & 1) == 0, heavy,
+                lambda _b, dd: dd, bidx, d)
+
     return jax.lax.fori_loop(
-        0, nblk, body, jnp.full(row.shape, fill, jnp.float32))
+        0, NBLK, body, jnp.full(row.shape, fill, jnp.float32))
 
 
-def _like_kernel(tgrp_ref, meta_ref, pts_ref, tab_ref, a_ref,
+def _like_kernel(tgrp_ref, meta_ref, pts_ref, skipw_ref, tab_ref, a_ref,
                  score_ref, match_ref, *, kk, trunc, mdm, mdf, mw):
     t = pl.program_id(0)
     gsel = tgrp_ref[t]
@@ -451,7 +533,7 @@ def _like_kernel(tgrp_ref, meta_ref, pts_ref, tab_ref, a_ref,
     code_scale = jnp.float32(trunc / 255.0)
     pt_scale = jnp.float32(1.0 / 65536.0)
 
-    def body(k, carry):
+    def heavy(k, carry):
         acc, mac = carry
         mbase = (k * G_GROUPS + gsel) * 4
         lox = meta_ref[mbase + 0]
@@ -461,14 +543,22 @@ def _like_kernel(tgrp_ref, meta_ref, pts_ref, tab_ref, a_ref,
         py = pts_ref[k * 4 + 1].astype(jnp.float32) * pt_scale
         pz = pts_ref[k * 4 + 2].astype(jnp.float32) * pt_scale
         row, lane, inbox = _affine_query(a, px, py, pz, lox, loy, zlo)
+        sw = skipw_ref[k * G_GROUPS + gsel]
         code = _row_select(
             lambda b: tab_ref[pl.ds(k, 1), 0, pl.ds(b * 16, 16), :][0],
-            row, lane, 255.0)
+            row, lane, 255.0, skip_word=sw)
         d = jnp.where(inbox, code * code_scale, trunc)           # [8, 128]
         matched = d <= mdm
         contrib = jnp.maximum(mw * (mdm - jnp.maximum(d, mdf)), 0.0)
         contrib = jnp.where(matched, contrib, 0.0)
         return acc + contrib, mac + matched.astype(jnp.float32)
+
+    def body(k, carry):
+        # Point skip: when every block of this (point, group) table is
+        # skippable (all min distances > match_dist_min), no row can
+        # match — contribution and match count are exactly zero.
+        sw = skipw_ref[k * G_GROUPS + gsel]
+        return jax.lax.cond(sw != SKIP_ALL, heavy, lambda _k, c: c, k, carry)
 
     zero = jnp.zeros((8, 128), jnp.float32)
     acc, mac = jax.lax.fori_loop(0, kk, body, (zero, zero))
@@ -486,6 +576,7 @@ def grouped_like_score(
     tile_group: jnp.ndarray,   # [nt] i32
     meta: jnp.ndarray,         # [K, G, 4] i32: lo_x, lo_y, z_used, pad
     pts_fp: jnp.ndarray,       # [K, 4] i32 — point coords * 2^16
+    skipw: jnp.ndarray,        # [K, G] i32 packed block-skip words
     tables: jnp.ndarray,       # [K, G, R, ZW] bf16 codes
     *,
     match_dist_min: float,
@@ -513,24 +604,24 @@ def grouped_like_score(
         mdf=float(match_dist_flat), mw=float(match_weight),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(
                 (kk, 1, R_ROWS, ZW),
-                lambda t, tg, mt, pf: (0, tg[t], 0, 0),
+                lambda t, tg, mt, pf, sw: (0, tg[t], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 12, 8, 128),
-                lambda t, tg, mt, pf: (t, 0, 0, 0),
+                lambda t, tg, mt, pf, sw: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda t, tg, mt, pf: (t, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda t, tg, mt, pf, sw: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t, tg, mt, pf: (t, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda t, tg, mt, pf, sw: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -542,7 +633,8 @@ def grouped_like_score(
             jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(tile_group, meta.reshape(-1), pts_fp.reshape(-1), tables, gp_A)
+    )(tile_group, meta.reshape(-1), pts_fp.reshape(-1), skipw.reshape(-1),
+      tables, gp_A)
     return score.reshape(-1), match.reshape(-1)
 
 
@@ -594,9 +686,10 @@ def _beam_kernel(tgrp_ref, meta_ref, pts_ref, aux_ref, skip_ref, tab_ref,
         py = pts_ref[kg * 4 + 1].astype(jnp.float32) * pt_scale
         pz = pts_ref[kg * 4 + 2].astype(jnp.float32) * pt_scale
         row, lane, inbox = _affine_query(a, px, py, pz, lox, loy, zlo)
+        sw = skip_ref[kg * G_GROUPS + gsel]
         code = _row_select(
             lambda blk: tab_ref[0, pl.ds(s, 1), 0, pl.ds(blk * 16, 16), :][0],
-            row, lane, 255.0)
+            row, lane, 255.0, skip_word=sw)
         d = jnp.where(inbox, code * code_scale, trunc)           # [8, 128]
 
         i = (s - 1).astype(jnp.float32)
@@ -611,13 +704,15 @@ def _beam_kernel(tgrp_ref, meta_ref, pts_ref, aux_ref, skip_ref, tab_ref,
                 t_entry, d_entry)
 
     def body(s, carry):
-        # Probe skip: when every code this probe's (point, group) table
-        # can yield is >= the enter threshold (empty space — the common
+        # Probe skip: when EVERY block of this probe's (point, group)
+        # table is skippable (all min distances fail both the enter
+        # threshold and the collision radius — empty space, the common
         # case for most of a long ray through a truncated field), the
         # heavy path is an exact identity on the carry (d == trunc
-        # everywhere => enter and hit are both false), so skip it.
-        sk = skip_ref[b * nprobe * G_GROUPS + s * G_GROUPS + gsel]
-        return jax.lax.cond(sk == 0, heavy, lambda _s, c: c, s, carry)
+        # everywhere => enter and hit are both false), so skip it;
+        # otherwise run it with per-block skips inside _row_select.
+        sw = skip_ref[b * nprobe * G_GROUPS + s * G_GROUPS + gsel]
+        return jax.lax.cond(sw != SKIP_ALL, heavy, lambda _s, c: c, s, carry)
 
     zero = jnp.zeros((8, 128), jnp.float32)
     init = (zero, zero, zero,
@@ -659,8 +754,10 @@ def grouped_beam_pen(
     meta: jnp.ndarray,         # [B*nprobe, G, 4] i32
     pts_fp: jnp.ndarray,       # [B*nprobe, 4] i32 — virtual points * 2^16
     aux: jnp.ndarray,          # [B, 2] i32 — (ray length * 2^16, valid)
-    skip: jnp.ndarray,         # [B*nprobe*G] i32 — 1 = table cannot
-                               # trigger enter/hit (probe-skip fast path)
+    skip: jnp.ndarray,         # [B*nprobe, G] i32 packed block-skip
+                               # words (bit b: 16-row block b cannot
+                               # trigger enter/hit; SKIP_ALL = whole
+                               # probe skipped)
     tables: jnp.ndarray,       # [B, nprobe, G, R, ZW] bf16 codes
     *,
     nprobe: int,

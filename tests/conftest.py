@@ -19,7 +19,7 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     # default 40 s rendezvous termination aborts the process
     flags = (
         flags
-        + " --xla_cpu_collective_call_warn_stuck_seconds=300"
+        + " --xla_cpu_collective_timeout_seconds=1200"
         + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip()
 os.environ["XLA_FLAGS"] = flags

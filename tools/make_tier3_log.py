@@ -105,7 +105,19 @@ def make_world():
 
 
 def build_log(n_steps=60, seed=0, kidnap_step=24, dual_lidar=True,
-              n_rays=320):
+              n_rays=320, odom_mode="normal", drift_scale=1.0,
+              speed_scale=1.0, s_start=1.8):
+    """``odom_mode``: "normal" emits wheel-odometry events with drift;
+    "none" emits NO odometry (the reference's no-odom profile,
+    config/test_localization_noodom.yaml — the engine synthesizes fake
+    odometry from the IMU attitude, so clouds are recorded in that
+    zero-translation frame).  ``drift_scale`` scales the odometric
+    drift: 1.0 = ~2 cm/s systematic + random walk + slow yaw drift.
+    ``speed_scale`` scales the drive speed: without odometry the filter
+    must infer translation from scans alone, and the resample-noise
+    random walk bounds the trackable speed (the reference's no-odom CI
+    replays a walking-pace cart; 1.2 m/s is beyond what ANY odometry-
+    free MCL tracks with 0.2 m resample jitter at 10 Hz)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -116,6 +128,7 @@ def build_log(n_steps=60, seed=0, kidnap_step=24, dual_lidar=True,
 
     room = make_world()
     n_sensors = 2 if dual_lidar else 1
+    no_odom = odom_mode == "none"
 
     rng = np.random.default_rng(seed)
     times, kinds = [], []
@@ -124,10 +137,11 @@ def build_log(n_steps=60, seed=0, kidnap_step=24, dual_lidar=True,
     rt, rp, rr = [], [], []
     allpts = []
     drift = np.zeros(3)
+    yaw_drift = 0.0
     kidnap = np.zeros(3)       # accumulated true-pose teleport
     t = 0.0
     yaw = np.pi / 2            # start heading of the west edge
-    s0 = 1.8                   # start a little up the west edge
+    s0 = s_start               # arc-length start along the circuit
 
     def pad(skip_odom=False, skip_imu=False, skip_cloud=False):
         if not skip_odom:
@@ -140,7 +154,7 @@ def build_log(n_steps=60, seed=0, kidnap_step=24, dual_lidar=True,
 
     kidnap_time = -1.0
     for i in range(n_steps):
-        xy, heading = _circuit_pose(s0 + SPEED * i)
+        xy, heading = _circuit_pose(s0 + SPEED * speed_scale * i)
         # rate-limited yaw toward the edge heading: 90-degree corners
         # take ~10 steps at the 1.5 rad/s cap
         dyaw = (heading - yaw + np.pi) % (2 * np.pi) - np.pi
@@ -153,18 +167,33 @@ def build_log(n_steps=60, seed=0, kidnap_step=24, dual_lidar=True,
 
         tp = np.array([xy[0], xy[1], 0.4], np.float32) + kidnap
         tr = mqn.from_rpy(np.array([roll, pitch, yaw])).astype(np.float32)
-        # ~2 cm/s systematic + random odometric drift (the TF-gate
-        # budget, compare_tf.cpp:84-85, is only meaningful at realistic
-        # drift rates); odometry = true pose + drift - kidnap
-        drift += rng.normal(0, 0.001, 3) + np.array([0.001, 0.0, 0.0])
+        # ~2 cm/s systematic + random-walk translational drift plus a
+        # slow yaw drift (the TF-gate budget, compare_tf.cpp:84-85, is
+        # only meaningful at realistic drift rates).  The drift is a
+        # slowly wandering odom->map offset: odom pose = D(true pose
+        # without the kidnap), clouds are recorded in the SAME drifted
+        # odom frame (the node receives them TF-ed by the drifting
+        # odometry, src/mcl_3dl.cpp:274-302), so the composition the
+        # engine does at measure time stays consistent.
+        drift += drift_scale * (
+            rng.normal(0, 0.002, 3) + np.array([0.002, 0.0, 0.0]))
         drift[2] = 0.0
-        op = (tp - kidnap + drift).astype(np.float32)
+        yaw_drift += drift_scale * (0.0002 + rng.normal(0, 0.0002))
+        dq = mqn.from_rpy(np.array([0.0, 0.0, yaw_drift]))
+        if no_odom:
+            # fake-odom frame: zero translation, IMU attitude
+            op = np.zeros(3, np.float32)
+            o_rot = tr
+        else:
+            o_rot = mqn.mul(dq, tr).astype(np.float32)
+            op = (mqn.rotate(dq, tp - kidnap) + drift).astype(np.float32)
 
         t += 0.1
         if i == kidnap_step:
             kidnap_time = t
-        times.append(t); kinds.append(ODOM)
-        opos.append(op); orot.append(tr); pad(skip_odom=True)
+        if not no_odom:
+            times.append(t); kinds.append(ODOM)
+            opos.append(op); orot.append(o_rot); pad(skip_odom=True)
         acc = mqn.rotate(mqn.inv(tr), np.array([0.0, 0.0, 1.0]))
         times.append(t + 0.001); kinds.append(IMU)
         iacc.append(acc); irot.append(tr); pad(skip_imu=True)
@@ -174,11 +203,10 @@ def build_log(n_steps=60, seed=0, kidnap_step=24, dual_lidar=True,
             sb = simulate_scan(room, sensor_world, tr, n_rays=n_rays,
                                seed=i * 4 + j, noise=0.005)
             pb = sb + off                     # base-frame points
-            # odom-frame points/origin (the node receives clouds TF-ed
-            # into odom, src/mcl_3dl.cpp:274-302); odom orientation has
-            # no drift here, so rotate by the true attitude
-            so = mqn.rotate(tr, pb) + op
-            oo = mqn.rotate(tr, off) + op
+            # odom-frame points/origin in the (drifted or fake) odom
+            # frame the odometry events describe
+            so = mqn.rotate(o_rot, pb) + op
+            oo = mqn.rotate(o_rot, off) + op
             times.append(t + 0.002 + 0.001 * j); kinds.append(CLOUD)
             cstart.append(sum(len(a) for a in allpts)); clen.append(len(so))
             corig.append(oo); cframe.append(j)
