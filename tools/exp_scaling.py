@@ -119,6 +119,45 @@ def main():
           f"({dt*1e3:.0f} ms/step on 8 virtual CPU devices) pose[0]="
           f"{np.round(e[0], 3)} OK")
 
+    # ---- C: BASELINE config-5 robot count (1024) on the virtual mesh.
+    # The full 1024 x 10k x (96+3) step is a chip workload (see
+    # tools/exp_fleet_chip.py and the BENCH_NOTES FLEET table); on the
+    # 2-core CI host we validate the 1024-robot AXIS itself — sharding,
+    # per-robot RNG/odometry, collectives — at reduced per-robot load.
+    robots_c, npart_c = 1024, 1024
+    eng3, args3 = ge._build_engine_and_inputs(
+        num_particles=npart_c, cloud_points=64, fast=True, like_points=8)
+    mesh_c = make_mesh(8, robots=8)
+
+    def tile_c(x):
+        return jnp.broadcast_to(x[None], (robots_c,) + x.shape)
+
+    state_c = shard_state(jax.tree.map(tile_c, args3[0]), mesh_c,
+                          batched=True)
+    keys_c = jax.random.split(args3[1], robots_c)
+    tiled = [tile_c(args3[i]) for i in range(5, 14)]
+    f_pos_c = jax.tree.map(tile_c, args3[14])
+    f_ang_c = jax.tree.map(tile_c, args3[15])
+    gfix_c = jnp.zeros((robots_c,), bool)
+    step_c = fleet_filter_step(eng3, mesh_c)
+    out = step_c(state_c, keys_c, args3[2], args3[3], args3[4], *tiled,
+                 f_pos_c, f_ang_c, gfix_c)
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    out = step_c(out[0], keys_c, args3[2], args3[3], args3[4], *tiled,
+                 f_pos_c, f_ang_c, gfix_c)
+    jax.block_until_ready(out)
+    dt_c = time.monotonic() - t0
+    e_c = np.asarray(jax.device_get(out[-1])["e_pos"])
+    assert e_c.shape == (robots_c, 3) and np.isfinite(e_c).all()
+    result["C_fleet_1024"] = {
+        "robots": robots_c, "particles_per_robot": npart_c,
+        "like_points": 8,
+        "step_ms": round(dt_c * 1e3, 1),
+    }
+    print(f"C fleet: {robots_c} robots x {npart_c} particles "
+          f"({dt_c*1e3:.0f} ms/step on 8 virtual CPU devices) OK")
+
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "SCALING_VMESH.json")
     with open(path, "w") as f:
