@@ -296,6 +296,52 @@ def test_likelihood_grouped_kernel_matches_xla_path():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_likelihood_grouped_random_map_parity():
+    """Adversarial parity for the block-skip fast path: a RANDOM
+    scattered map produces arbitrary code patterns around the
+    match_dist_min threshold in every table block, so any inexactness
+    in the query-band skip logic (ops/grouped.block_min_dist /
+    pack_block_skip) shows up as a score difference vs the XLA
+    nearest-cell path."""
+    from mcl_3dl_tpu.ops import grouped as og
+
+    rng = np.random.default_rng(42)
+    # sparse random clutter: most window blocks are empty (skippable),
+    # the rest have near-threshold codes
+    pts = rng.uniform(-3.0, 3.0, (400, 3))
+    df = build_distance_field(pts, 0.1, 0.6, weights=(1.0, 1.0, 2.0))
+    scan = rng.uniform(-2.0, 2.0, (24, 3)).astype(np.float32)
+    K = len(scan)
+    N = og.TILE
+    pos = jnp.asarray(rng.normal(0, 0.04, (N, 3)), jnp.float32)
+    rpy = np.stack([rng.normal(0, 0.02, N), rng.normal(0, 0.02, N),
+                    rng.uniform(-0.4, 0.4, N)], axis=1)
+    rot = jnp.asarray(
+        np.stack([np.asarray(mq.from_rpy(jnp.asarray(r))) for r in rpy]),
+        jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=K) < 0.9)
+    active = jnp.ones((N,), bool)
+
+    for mdm in (0.2, 0.3):
+        args = (df, pos, rot, jnp.asarray(scan), valid, mdm, 0.05, 5.0)
+        lik_ref, qual_ref = likelihood_measure(*args, trilinear=False)
+        lik_g, qual_g, tier = likelihood_measure(
+            *args, trilinear=False, local_kernel=True, active=active,
+            with_info=True)
+        assert int(tier) == 0, "grouped tier did not engage"
+        # the kernel's affine cell arithmetic and sample_nearest round
+        # the same query through different fp association orders;
+        # particles exactly on a cell boundary can flip one cell (and
+        # with sparse random clutter, one whole contribution).  Verified
+        # identical with the skip producer forced off — allow a
+        # per-mille of such flips, require exact agreement elsewhere.
+        mism = ~np.isclose(np.asarray(lik_g), np.asarray(lik_ref),
+                           rtol=1e-5, atol=1e-5)
+        mism |= ~np.isclose(np.asarray(qual_g), np.asarray(qual_ref),
+                            rtol=1e-6, atol=1e-6)
+        assert mism.mean() < 0.005, (mdm, mism.sum())
+
+
 def test_likelihood_grouped_envelope_outliers_exact():
     """A few resample-jitter tail particles far outside the cluster must
     not blow the bin envelopes (fits stays true) and must still be
