@@ -82,3 +82,6 @@ def load_checkpoint(engine, path) -> None:
               "tf_tolerance_base", "localized_last",
               "global_localization_fix_cnt", "cnt_measure"):
         setattr(engine, k, meta[k])
+    # The restored f_pos/f_ang carry the smoothing continuity; the
+    # engine's cold-start re-seed would overwrite them
+    engine._tf_seeded = True

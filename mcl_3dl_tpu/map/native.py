@@ -34,6 +34,9 @@ def _load() -> Optional[ctypes.CDLL]:
         except Exception:
             return None
     try:
+        # AttributeError: a stale .so from before a symbol rename — the
+        # library is a pure speedup, so fall back to numpy rather than
+        # crash map loading
         lib = ctypes.CDLL(_LIB_PATH)
         lib.mcl3dl_build_distance_field.restype = ctypes.c_int
         lib.mcl3dl_build_distance_field.argtypes = [
@@ -54,7 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
         _lib = None
     return _lib
 

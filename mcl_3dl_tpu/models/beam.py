@@ -470,7 +470,7 @@ def beam_measure_grouped(
         # truncated field.
         min_d = og.block_min_dist(
             tables, float(df_beam.trunc), lo=lo, z_used=z_used,
-            bands=og.query_bands(stats, vp.vpf))               # [K, G, B]
+            bands=og.query_bands(stats, vp.vpf))            # [K, G, NBLK]
         skip = og.pack_block_skip(
             (min_d >= jnp.float32(float(df_beam.trunc) * 0.99))
             & (min_d > jnp.float32(radius)))

@@ -100,7 +100,7 @@ def grouped_like_apply(df, stats, layout, lo, points, valid, *,
     # fully-skippable (point, group) table skips the whole point.
     min_d = og.block_min_dist(
         tables, trunc, lo=lo, z_used=z_used,
-        bands=og.query_bands(stats, points))                  # [K, G, B]
+        bands=og.query_bands(stats, points))               # [K, G, NBLK]
     skipw = og.pack_block_skip(min_d > jnp.float32(match_dist_min))
     s_sorted, m_sorted = og.grouped_like_score(
         layout.A, layout.tile_group, og.make_meta(lo, z_used),

@@ -246,20 +246,13 @@ def group_boxes(stats: GroupStats, pts, dims3):
     in-kernel (inbox mask) exactly like ``sample_nearest``, so only the
     in-map extent constrains the window.  Empty bins trivially fit.
     """
-    p = pts.astype(jnp.float32)                                  # [K, 3]
     box = (BX, BY, ZW)
+    bands = query_bands(stats, pts)   # the ONE producer of the query
+    #                                   intervals (block-skip exactness
+    #                                   depends on sharing it)
     lo_cols, fits = [], jnp.ones((pts.shape[0], G_GROUPS), bool)
     for i in range(3):
-        lo_i = stats.a_min[:, 9 + i][None, :]
-        hi_i = stats.a_max[:, 9 + i][None, :]
-        for j in range(3):
-            amin = stats.a_min[:, 3 * i + j][None, :]            # [1, G]
-            amax = stats.a_max[:, 3 * i + j][None, :]
-            pj = p[:, j][:, None]                                # [K, 1]
-            lo_i = lo_i + jnp.minimum(amin * pj, amax * pj)
-            hi_i = hi_i + jnp.maximum(amin * pj, amax * pj)
-        lo_q = jnp.floor(lo_i).astype(jnp.int32)
-        hi_q = jnp.ceil(hi_i).astype(jnp.int32)
+        lo_q, hi_q = bands[i]
         # in-map part only: out-of-map queries read trunc regardless
         lo_in = jnp.maximum(lo_q, 0)
         hi_in = jnp.minimum(hi_q, dims3[i] - 1)

@@ -125,66 +125,62 @@ def main():
     ap.add_argument("--log", default=None,
                     help="converted real bag (ReplayLog npz); default: "
                          "the committed synthetic drive")
-    ap.add_argument("--steps", type=int, default=220,
-                    help="synthetic drive length (>=200 gated poses at "
-                         "the default)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="synthetic drive length (default 220: >=200 "
+                         "gated poses); not applicable with --log")
     args = ap.parse_args()
+    if args.log and args.steps is not None:
+        ap.error("--steps applies to the synthetic drive, not --log")
+    if args.steps is None:
+        args.steps = 220
 
     from mcl_3dl_tpu.io.replay import ReplayLog
     from tools.make_tier3_log import build_log
 
+    gates = {}
     if args.log:
         log = ReplayLog.load(args.log)
         source = os.path.basename(args.log)
-        result = {
-            "source": source,
-            "with_imu": run_gate(log, use_imu=True),
-            "no_imu": run_gate(log, use_imu=False),
-        }
-        result["pass"] = (result["with_imu"]["pass"]
-                          and result["no_imu"]["pass"])
-        print(json.dumps(result, indent=1))
-        sys.exit(0 if result["pass"] else 1)
+        gates["with_imu"] = run_gate(log, use_imu=True)
+        gates["no_imu"] = run_gate(log, use_imu=False)
+    else:
+        steps = args.steps
+        log = build_log(n_steps=steps)
+        source = (f"synthetic_circuit_v2 (tools/make_tier3_log.py, seed 0:"
+                  f" {steps} steps, dual-LIDAR, sharp corners, ~2 cm/s + "
+                  f"yaw odometric drift, kidnap at step 24)")
+        gates["with_imu"] = run_gate(log, use_imu=True)
+        gates["no_imu"] = run_gate(log, use_imu=False)
 
-    steps = args.steps
-    log = build_log(n_steps=steps)
-    source = (f"synthetic_circuit_v2 (tools/make_tier3_log.py, seed 0: "
-              f"{steps} steps, dual-LIDAR, sharp corners, ~2 cm/s + yaw "
-              f"odometric drift, kidnap at step 24)")
+        # no-odom variant (the reference ships
+        # config/test_localization_noodom.yaml and runs the same bag
+        # with fake_odom): IMU attitude substitutes for wheel odometry,
+        # boosted resample vars absorb the unmodelled translation.
+        # 0.2x speed (0.24 m/s, a walking-pace cart like the
+        # reference's demo robot) on the straight west edge: with the
+        # reference's LINEAR score weighting, tracking pull per step is
+        # proportional to the x/y-INFORMATIVE fraction of the scan
+        # (point count cancels in the weight normalization), so
+        # odometry-free tracking holds where the motion axis is richly
+        # constrained (the wall-facing edges) and cannot hold through
+        # this world's corner onto the x-sparse north edge — the same
+        # bound applies to the reference implementation.
+        log_no_odom = build_log(n_steps=steps, odom_mode="none",
+                                kidnap_step=-1, speed_scale=0.2,
+                                s_start=0.2)
+        gates["no_odom"] = run_gate(log_no_odom, use_imu=True,
+                                    params_override=dict(
+            fake_odom=True,
+            num_particles=256,
+            resample_var_x=0.2, resample_var_y=0.2, resample_var_z=0.05,
+            bias_var_dist=100.0,
+            match_dist_min=0.3,
+            # drive starts at circuit arc length 0.2 on the west edge
+            init_x=-2.8, init_y=-2.6,
+        ))
 
-    # no-odom variant (the reference ships
-    # config/test_localization_noodom.yaml and runs the same bag with
-    # fake_odom): IMU attitude substitutes for wheel odometry, boosted
-    # resample vars absorb the unmodelled translation.  0.2x speed
-    # (0.24 m/s, a walking-pace cart like the reference's demo robot)
-    # on the straight west edge: with the reference's LINEAR score
-    # weighting, tracking pull per step is proportional to the
-    # x/y-INFORMATIVE fraction of the scan (point count cancels in the
-    # weight normalization), so odometry-free tracking holds where the
-    # motion axis is richly constrained (the wall-facing edges) and
-    # cannot hold through this world's corner onto the x-sparse north
-    # edge — the same bound applies to the reference implementation.
-    log_no_odom = build_log(n_steps=steps, odom_mode="none",
-                            kidnap_step=-1, speed_scale=0.2, s_start=0.2)
-    no_odom_params = dict(
-        fake_odom=True,
-        num_particles=256,
-        resample_var_x=0.2, resample_var_y=0.2, resample_var_z=0.05,
-        bias_var_dist=100.0,
-        match_dist_min=0.3,
-        # drive starts at circuit arc length 0.2 on the west edge
-        init_x=-2.8, init_y=-2.6,
-    )
-
-    result = {
-        "source": source,
-        "with_imu": run_gate(log, use_imu=True),
-        "no_imu": run_gate(log, use_imu=False),
-        "no_odom": run_gate(log_no_odom, use_imu=True,
-                            params_override=no_odom_params),
-    }
-    result["pass"] = (result["with_imu"]["pass"] and result["no_imu"]["pass"]
-                      and result["no_odom"]["pass"])
+    result = {"source": source, **gates}
+    result["pass"] = all(g["pass"] for g in gates.values())
     print(json.dumps(result, indent=1))
     sys.exit(0 if result["pass"] else 1)
 
