@@ -79,8 +79,12 @@ def main():
     # steady-state tracking is the rate that matters (and the regime
     # where the local-table Pallas scoring kernels engage).  Each step
     # gets a fresh RNG key (a plain argument — no recompile).
+    # Disjoint key ranges per bench section: the main steady-state loop
+    # consumes keys[:26]; reusing any of those for the fallback /
+    # default / global rows would repeat identical computations that a
+    # persistent executable cache could make unrepresentatively fast.
     import jax as _jax
-    keys = _jax.random.split(args[1], 40)
+    keys = _jax.random.split(args[1], 64)
     warmup = 2 if quick else 6
     state = out[0]
     for i in range(warmup):
@@ -135,14 +139,14 @@ def main():
             )
             wide_cpu = eng.pstate
         wide = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), wide_cpu)
-        wout = step(wide, keys[0], *args[2:])
+        wout = step(wide, keys[26], *args[2:])
         _ = float(np.asarray(wout[0].prob[0]))          # compile-check/warm
         t0 = time.monotonic()
         iters_fb = 5
         for i in range(iters_fb):
             dep = wout[0].prob[0] * 0.0
             pinned = wide._replace(pos=wide.pos + dep)
-            wout = step(pinned, keys[1 + i], *args[2:])
+            wout = step(pinned, keys[27 + i], *args[2:])
         _ = float(np.asarray(wout[0].prob[0]))
         dt_fb = (time.monotonic() - t0) / iters_fb
         extra["fallback_step_ms"] = dt_fb * 1e3
@@ -173,13 +177,13 @@ def main():
               file=sys.stderr)
         state_d = out_d[0]
         for i in range(6):
-            out_d = step_d(state_d, keys[i], *args_d[2:])
+            out_d = step_d(state_d, keys[32 + i], *args_d[2:])
             state_d = out_d[0]
         _ = float(np.asarray(state_d.prob[0]))
         t0 = time.monotonic()
         iters_d = 10
         for i in range(iters_d):
-            out_d = step_d(state_d, keys[6 + i], *args_d[2:])
+            out_d = step_d(state_d, keys[38 + i], *args_d[2:])
             state_d = out_d[0]
         _ = float(np.asarray(state_d.prob[0]))
         dt_d = (time.monotonic() - t0) / iters_d
@@ -190,6 +194,53 @@ def main():
             f"default (trilinear) step: {dt_d*1e3:.2f} ms | tiers: "
             f"like={extra['default_tier_like']} "
             f"beam={extra['default_tier_beam']}",
+            file=sys.stderr,
+        )
+
+        # --- global-localization row: the REALISTIC unconverged step.
+        # The fallback row above is the full-point-count worst case; in
+        # the reference, entering global localization shrinks the
+        # sampled point count (setGlobalLocalizationStatus,
+        # lidar_measurement_model_likelihood.cpp:63-77) — num_points *
+        # num_particles / n_active, floored at num_points_global=8.
+        # Seed >= 100k particles via the actual service (standable
+        # surface x yaw grid, src/mcl_3dl.cpp:1039-1099) and measure
+        # the step with the state re-pinned to the full seeded count
+        # each iteration (the in-step 0.75x decay would otherwise
+        # shrink the workload mid-measurement).
+        with jax.default_device(cpu):
+            eng_g, args_g_cpu = ge._build_engine_and_inputs(
+                num_particles=1 << 14, cloud_points=4096, seed=0,
+                fast=True,
+                extra_params=dict(global_localization_grid_lin=0.1,
+                                  global_localization_grid_ang=0.1),
+            )
+            n_seeded = eng_g.global_localization()
+            args_g_cpu = (eng_g.pstate,) + args_g_cpu[1:]
+        args_g = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                              args_g_cpu)
+        step_g = jax.jit(eng_g._measurement_step)
+        t0 = time.monotonic()
+        gout = step_g(*args_g)
+        _ = float(np.asarray(gout[0].prob[0]))
+        print(f"global compile+first-run: {time.monotonic()-t0:.1f}s",
+              file=sys.stderr)
+        state_g = args_g[0]
+        t0 = time.monotonic()
+        iters_g = 5
+        for i in range(iters_g):
+            dep = gout[0].prob[0] * 0.0
+            pinned = state_g._replace(pos=state_g.pos + dep)
+            gout = step_g(pinned, keys[48 + i], *args_g[2:])
+        _ = float(np.asarray(gout[0].prob[0]))
+        dt_g = (time.monotonic() - t0) / iters_g
+        extra["global_mode_step_ms"] = dt_g * 1e3
+        extra["global_mode_particles"] = int(n_seeded)
+        extra["global_mode_capacity"] = int(args_g[0].pos.shape[0])
+        print(
+            f"global-localization step: {dt_g*1e3:.2f} ms at "
+            f"{n_seeded} seeded particles (capacity "
+            f"{extra['global_mode_capacity']}, 8 pts/particle)",
             file=sys.stderr,
         )
 

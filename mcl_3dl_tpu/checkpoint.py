@@ -49,6 +49,7 @@ def save_checkpoint(engine, path) -> None:
         "localized_last": engine.localized_last,
         "global_localization_fix_cnt": engine.global_localization_fix_cnt,
         "cnt_measure": engine.cnt_measure,
+        "tf_seeded": engine._tf_seeded,
     }
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
@@ -82,6 +83,10 @@ def load_checkpoint(engine, path) -> None:
               "tf_tolerance_base", "localized_last",
               "global_localization_fix_cnt", "cnt_measure"):
         setattr(engine, k, meta[k])
-    # The restored f_pos/f_ang carry the smoothing continuity; the
-    # engine's cold-start re-seed would overwrite them
-    engine._tf_seeded = True
+    # The restored f_pos/f_ang carry the smoothing continuity only once
+    # the source engine had measured (and so seeded map->odom); a
+    # checkpoint saved before the first measurement must restore with
+    # the first-measurement re-seed still pending, or the cold identity
+    # seed would drag the first published poses under fake_odom.  Old
+    # files (no key) predate the flag: preserve their behaviour.
+    engine._tf_seeded = bool(meta.get("tf_seeded", True))

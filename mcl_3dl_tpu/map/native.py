@@ -10,21 +10,44 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import warnings
 from typing import Optional
 
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libmcl3dl_native.so"))
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
+_funcs: Optional[dict] = None
+
+_SIGNATURES = {
+    "mcl3dl_build_distance_field": [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ],
+    "mcl3dl_build_occupancy_rep": [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ],
+}
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
+def _load_funcs() -> dict:
+    """Bind each native entry point INDEPENDENTLY: a stale .so missing
+    one (renamed) symbol must not silently disable the others — the
+    library is a pure speedup, so each missing/failed symbol falls back
+    to numpy with a one-line warning instead of crashing map loading."""
+    global _funcs
+    if _funcs is not None:
+        return _funcs
+    _funcs = {}
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(
@@ -32,38 +55,32 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            return _funcs
     try:
-        # AttributeError: a stale .so from before a symbol rename — the
-        # library is a pure speedup, so fall back to numpy rather than
-        # crash map loading
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.mcl3dl_build_distance_field.restype = ctypes.c_int
-        lib.mcl3dl_build_distance_field.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.c_double, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
-        lib.mcl3dl_build_occupancy_rep.restype = ctypes.c_int
-        lib.mcl3dl_build_occupancy_rep.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint32),
-            ctypes.c_int64, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint32),
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        _lib = lib
-    except (OSError, AttributeError):
-        _lib = None
-    return _lib
+    except OSError:
+        return _funcs
+    for name, argtypes in _SIGNATURES.items():
+        try:
+            fn = getattr(lib, name)
+        except AttributeError:
+            warnings.warn(
+                f"native map builder symbol {name} missing from "
+                f"{_LIB_PATH} (stale build?) — using the numpy fallback; "
+                f"rebuild with `make -C native`", RuntimeWarning)
+            continue
+        fn.restype = ctypes.c_int
+        fn.argtypes = argtypes
+        _funcs[name] = fn
+    return _funcs
+
+
+def _func(name: str):
+    return _load_funcs().get(name)
 
 
 def native_available() -> bool:
-    return _load() is not None
+    return len(_load_funcs()) == len(_SIGNATURES)
 
 
 def build_distance_field_native(
@@ -72,14 +89,14 @@ def build_distance_field_native(
 ) -> Optional[np.ndarray]:
     """Exact truncated distance splat in C++. Returns the float32 field
     [nx, ny, nz] or None when the native library is unavailable."""
-    lib = _load()
-    if lib is None:
+    fn = _func("mcl3dl_build_distance_field")
+    if fn is None:
         return None
     nx, ny, nz = (int(d) for d in dims)
     pts = np.ascontiguousarray(points_scaled, np.float64)
     org = np.ascontiguousarray(origin, np.float64)
     field = np.full(nx * ny * nz, np.float32(trunc), np.float32)
-    rc = lib.mcl3dl_build_distance_field(
+    rc = fn(
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         pts.shape[0], float(cell), float(trunc),
         org.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -104,8 +121,8 @@ def build_occupancy_rep_native(
     Returns flat ``(occupied bool [V], min_label u32 [V],
     rep_offsets u8 [V, rep_points, 3])`` or None when unavailable.
     """
-    lib = _load()
-    if lib is None:
+    fn = _func("mcl3dl_build_occupancy_rep")
+    if fn is None:
         return None
     nx, ny, nz = (int(d) for d in dims)
     total = nx * ny * nz
@@ -116,7 +133,7 @@ def build_occupancy_rep_native(
     occupied = np.zeros(total, np.uint8)
     min_label = np.full(total, 0xFFFFFFFF, np.uint32)
     rep = np.full(total * rep_points * 3, 127, np.uint8)
-    rc = lib.mcl3dl_build_occupancy_rep(
+    rc = fn(
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)) if lbl is not None
         else None,

@@ -411,6 +411,182 @@ NBLK = R_ROWS // 16            # 16-row table blocks per window
 SKIP_ALL = (1 << NBLK) - 1     # skip word with every block bit set
 
 
+# Process-wide implementation override for environments where the
+# DEFAULT backend is not the backend the kernels actually run on (the
+# driver's virtual-CPU-mesh dryrun under a remote-TPU sitecustomize
+# that pins jax_platforms): set BEFORE any kernel is traced.
+IMPL_OVERRIDE: str | None = None
+
+
+def _resolve_impl(impl):
+    """Kernel implementation tier.
+
+    * ``"mosaic"`` — the compiled Pallas kernel (TPU).
+    * ``"interpret"`` — Pallas interpret mode (CPU oracle of the exact
+      kernel program; slow: the grid runs as a host loop).
+    * ``"emulate"`` — vectorized pure-JAX re-statement of the kernel
+      math (same f32 op sequence per element, same sequential
+      accumulation order), bit-equal to the Pallas kernel on every slot
+      the caller reads back (``GroupedLayout.dest`` / ``over_idx``;
+      padding slots may differ only through the block-skip words, which
+      are exact no-ops for in-envelope queries by construction).  This
+      is the CPU default: it makes the virtual-mesh sharding tests and
+      the driver's ``dryrun_multichip`` run in seconds instead of
+      minutes, while ``tests/test_models.py`` pins emulate ==
+      interpret-Pallas bit-equality at small scale.
+    """
+    if impl is None:
+        if IMPL_OVERRIDE is not None:
+            return IMPL_OVERRIDE
+        return "emulate" if jax.default_backend() == "cpu" else "mosaic"
+    return impl
+
+
+def _emulate_like_score(tile_group, meta, pts_fp, skipw, tables, gp_A, *,
+                        kk, trunc, mdm, mdf, mw):
+    """Vectorized re-statement of ``_like_kernel`` over all tiles.
+
+    Mirrors the kernel line for line: same fixed-point dequantization,
+    same ``_affine_query`` expression order, same clamp/threshold ops,
+    same sequential accumulation over scan points (``fori_loop`` k =
+    0..kk-1, matching the kernel's in-program point loop) — so results
+    are bit-equal on every real particle slot.  Block-skip words are
+    not consulted: a skipped block is an exact no-op for in-envelope
+    queries (that is the skip's correctness contract), and padding
+    slots are never read back.
+    """
+    nt = gp_A.shape[0]
+    gg = tables.shape[1]
+    gsel = tile_group.astype(jnp.int32)                      # [nt]
+    code_scale = jnp.float32(trunc / 255.0)
+    pt_scale = jnp.float32(1.0 / 65536.0)
+    meta_flat = meta.reshape(-1)
+    pts_flat = pts_fp.reshape(-1)
+    tab_flat = tables.reshape(-1)
+    a = gp_A                                                 # [nt, 12, 8, 128]
+
+    def body(k, carry):
+        acc, mac = carry
+        mbase = (k * gg + gsel) * 4                          # [nt]
+        lox = jnp.take(meta_flat, mbase + 0)[:, None, None]
+        loy = jnp.take(meta_flat, mbase + 1)[:, None, None]
+        zlo = jnp.take(meta_flat, mbase + 2)[:, None, None]
+        px = pts_flat[k * 4 + 0].astype(jnp.float32) * pt_scale
+        py = pts_flat[k * 4 + 1].astype(jnp.float32) * pt_scale
+        pz = pts_flat[k * 4 + 2].astype(jnp.float32) * pt_scale
+        ux = a[:, 0] * px + a[:, 1] * py + a[:, 2] * pz + a[:, 9]
+        uy = a[:, 3] * px + a[:, 4] * py + a[:, 5] * pz + a[:, 10]
+        uz = a[:, 6] * px + a[:, 7] * py + a[:, 8] * pz + a[:, 11]
+        ix = jnp.round(ux).astype(jnp.int32) - lox
+        iy = jnp.round(uy).astype(jnp.int32) - loy
+        iz = jnp.round(uz).astype(jnp.int32) - zlo
+        inbox = (
+            (ix >= 0) & (ix < BX) & (iy >= 0) & (iy < BY)
+            & (iz >= 0) & (iz < ZW)
+        )
+        row = jnp.clip(ix * BY + iy, 0, R_ROWS - 1)
+        lane = jnp.clip(iz, 0, ZW - 1)
+        flat = ((k * gg + gsel)[:, None, None] * R_ROWS + row) * ZW + lane
+        code = jnp.take(tab_flat, flat).astype(jnp.float32)
+        d = jnp.where(inbox, code * code_scale, trunc)
+        matched = d <= mdm
+        contrib = jnp.maximum(mw * (mdm - jnp.maximum(d, mdf)), 0.0)
+        contrib = jnp.where(matched, contrib, 0.0)
+        return acc + contrib, mac + matched.astype(jnp.float32)
+
+    zero = jnp.zeros((nt, 8, 128), jnp.float32)
+    return jax.lax.fori_loop(0, kk, body, (zero, zero))
+
+
+def _emulate_beam_pen(tile_group, meta, pts_fp, aux, tables, gp_A, *,
+                      nprobe, trunc, grid_min, radius, hit_range,
+                      sin_total_ref, long_pen, tol):
+    """Vectorized re-statement of ``_beam_kernel`` over all tiles.
+
+    Same march carry semantics as the kernel (enter bookkeeping checked
+    before the hit update within each probe, f32 probe index times
+    ``grid_min``), accumulated over beams in kernel order.
+    """
+    nt = gp_A.shape[0]
+    bb = tables.shape[0]
+    gg = tables.shape[2]
+    gsel = tile_group.astype(jnp.int32)
+    code_scale = jnp.float32(trunc / 255.0)
+    pt_scale = jnp.float32(1.0 / 65536.0)
+    meta_flat = meta.reshape(-1)
+    pts_flat = pts_fp.reshape(-1)
+    aux_flat = aux.reshape(-1)
+    tab_flat = tables.reshape(-1)
+    a = gp_A
+    d_entry_thr = trunc * 0.99
+
+    npen = jnp.zeros((nt, 8, 128), jnp.float32)
+    for b in range(bb):
+        len_b = aux_flat[b * 2 + 0].astype(jnp.float32) * pt_scale
+        bvalid = aux_flat[b * 2 + 1] > 0
+        l_b = jnp.floor((len_b + tol) / grid_min)
+
+        def body(s, carry, b=b):
+            found_f, t_hit, d_hit, t_entry, d_entry = carry
+            found = found_f > 0.5
+            kg = b * nprobe + s
+            mbase = (kg * gg + gsel) * 4
+            lox = jnp.take(meta_flat, mbase + 0)[:, None, None]
+            loy = jnp.take(meta_flat, mbase + 1)[:, None, None]
+            zlo = jnp.take(meta_flat, mbase + 2)[:, None, None]
+            px = pts_flat[kg * 4 + 0].astype(jnp.float32) * pt_scale
+            py = pts_flat[kg * 4 + 1].astype(jnp.float32) * pt_scale
+            pz = pts_flat[kg * 4 + 2].astype(jnp.float32) * pt_scale
+            ux = a[:, 0] * px + a[:, 1] * py + a[:, 2] * pz + a[:, 9]
+            uy = a[:, 3] * px + a[:, 4] * py + a[:, 5] * pz + a[:, 10]
+            uz = a[:, 6] * px + a[:, 7] * py + a[:, 8] * pz + a[:, 11]
+            ix = jnp.round(ux).astype(jnp.int32) - lox
+            iy = jnp.round(uy).astype(jnp.int32) - loy
+            iz = jnp.round(uz).astype(jnp.int32) - zlo
+            inbox = (
+                (ix >= 0) & (ix < BX) & (iy >= 0) & (iy < BY)
+                & (iz >= 0) & (iz < ZW)
+            )
+            row = jnp.clip(ix * BY + iy, 0, R_ROWS - 1)
+            lane = jnp.clip(iz, 0, ZW - 1)
+            flat = ((kg * gg + gsel)[:, None, None] * R_ROWS + row) * ZW \
+                + lane
+            code = jnp.take(tab_flat, flat).astype(jnp.float32)
+            d = jnp.where(inbox, code * code_scale, trunc)
+
+            i = (s - 1).astype(jnp.float32)
+            elig = (i >= 1.0) & (i < l_b) & bvalid
+            enter = elig & ~found & (d < d_entry_thr) & (t_entry < 0.0)
+            t_entry = jnp.where(enter, i * grid_min, t_entry)
+            d_entry = jnp.where(enter, d, d_entry)
+            hit_now = elig & ~found & (d <= radius)
+            t_hit = jnp.where(hit_now, i * grid_min, t_hit)
+            d_hit = jnp.where(hit_now, d, d_hit)
+            return (jnp.where(hit_now, 1.0, found_f), t_hit, d_hit,
+                    t_entry, d_entry)
+
+        zero = jnp.zeros((nt, 8, 128), jnp.float32)
+        init = (zero, zero, zero,
+                jnp.full((nt, 8, 128), -1.0, jnp.float32),
+                jnp.full((nt, 8, 128), trunc, jnp.float32))
+        found_f, t_hit, d_hit, t_entry, d_entry = jax.lax.fori_loop(
+            0, nprobe, body, init)
+        found = found_f > 0.5
+        span = t_hit - t_entry
+        sin = jnp.where(
+            found & (t_entry >= 0.0) & (span > grid_min),
+            jnp.clip((d_entry - d_hit) / jnp.maximum(span, 1e-6), 0.0, 1.0),
+            1.0,
+        )
+        graze = found & (sin <= sin_total_ref)
+        dist = len_b - t_hit
+        short = found & ~graze & (dist * dist >= hit_range * hit_range)
+        long_p = (~found) & long_pen
+        pen = ((short | long_p) & bvalid).astype(jnp.float32)
+        npen = npen + pen
+    return npen
+
+
 def pack_block_skip(skip_bool):
     """Pack a [..., NBLK] bool block-skip mask into i32 words (bit b =
     block b).  A set bit certifies the block cannot contribute (its
@@ -429,8 +605,16 @@ def query_bands(stats: GroupStats, pts):
     envelope outliers and inactive slots live in the last bin, whose
     kernel output is exactly rescored / never read, so their queries
     don't matter.  Returns ``[(x_lo, x_hi), (y_lo, y_hi), (z_lo,
-    z_hi)]`` of [K, G] i32 pairs."""
-    p = pts.astype(jnp.float32)
+    z_hi)]`` of [K, G] i32 pairs.
+
+    The bands are computed from the kernels' 2^-16 fixed-point
+    DEQUANTIZED point coordinates (the exact value sequence
+    ``points_fp`` + the in-kernel ``pt_scale`` produce), not the raw
+    f32 points — otherwise a query within the ~1.5e-5 quantization
+    error of a band boundary could round one cell outside and have its
+    block wrongly skipped."""
+    p = (jnp.round(pts.astype(jnp.float32) * 65536.0)
+         .astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 65536.0))
     out = []
     for i in range(3):
         lo_i = stats.a_min[:, 9 + i][None, :]
@@ -562,7 +746,7 @@ def _like_kernel(tgrp_ref, meta_ref, pts_ref, skipw_ref, tab_ref, a_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("match_dist_min", "match_dist_flat", "match_weight",
-                     "trunc"),
+                     "trunc", "impl"),
 )
 def grouped_like_score(
     gp_A: jnp.ndarray,         # [nt, 12, 8, 128]
@@ -576,6 +760,7 @@ def grouped_like_score(
     match_dist_flat: float,
     match_weight: float,
     trunc: float,
+    impl: str | None = None,
 ):
     """Likelihood-field scoring over the sorted layout.
 
@@ -592,6 +777,14 @@ def grouped_like_score(
     """
     nt = gp_A.shape[0]
     kk = tables.shape[0]
+    impl = _resolve_impl(impl)
+    if impl == "emulate":
+        score, match = _emulate_like_score(
+            tile_group, meta, pts_fp, skipw, tables, gp_A,
+            kk=kk, trunc=float(trunc), mdm=float(match_dist_min),
+            mdf=float(match_dist_flat), mw=float(match_weight),
+        )
+        return score.reshape(-1), match.reshape(-1)
     kern = functools.partial(
         _like_kernel, kk=kk, trunc=float(trunc), mdm=float(match_dist_min),
         mdf=float(match_dist_flat), mw=float(match_weight),
@@ -625,7 +818,7 @@ def grouped_like_score(
             jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32),
         ],
-        interpret=jax.default_backend() == "cpu",
+        interpret=impl == "interpret",
     )(tile_group, meta.reshape(-1), pts_fp.reshape(-1), skipw.reshape(-1),
       tables, gp_A)
     return score.reshape(-1), match.reshape(-1)
@@ -739,7 +932,8 @@ def _beam_kernel(tgrp_ref, meta_ref, pts_ref, aux_ref, skip_ref, tab_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "trunc", "grid_min", "radius",
-                     "hit_range", "sin_total_ref", "long_pen", "tol"),
+                     "hit_range", "sin_total_ref", "long_pen", "tol",
+                     "impl"),
 )
 def grouped_beam_pen(
     gp_A: jnp.ndarray,         # [nt, 12, 8, 128]
@@ -761,6 +955,7 @@ def grouped_beam_pen(
     sin_total_ref: float,
     long_pen: bool,
     tol: float,
+    impl: str | None = None,
 ):
     """Penalized-beam count per particle, SORTED slot order [nt*TILE].
 
@@ -771,6 +966,16 @@ def grouped_beam_pen(
     """
     nt = gp_A.shape[0]
     bb = tables.shape[0]
+    impl = _resolve_impl(impl)
+    if impl == "emulate":
+        npen = _emulate_beam_pen(
+            tile_group, meta, pts_fp, aux, tables, gp_A,
+            nprobe=nprobe, trunc=float(trunc), grid_min=float(grid_min),
+            radius=float(radius), hit_range=float(hit_range),
+            sin_total_ref=float(sin_total_ref), long_pen=bool(long_pen),
+            tol=float(tol),
+        )
+        return npen.reshape(-1)
     kern = functools.partial(
         _beam_kernel, nprobe=nprobe, trunc=float(trunc),
         grid_min=float(grid_min), radius=float(radius),
@@ -803,7 +1008,7 @@ def grouped_beam_pen(
         kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nt, 8, 128), jnp.float32)],
-        interpret=jax.default_backend() == "cpu",
+        interpret=impl == "interpret",
     )(tile_group, meta.reshape(-1), pts_fp.reshape(-1), aux.reshape(-1),
       skip.reshape(-1), tables, gp_A)
     return npen.reshape(-1)

@@ -71,9 +71,33 @@ def _score_kernel(tab_ref, idx_ref, score_ref, match_ref, *,
     match_ref[...] += matched.astype(jnp.float32)
 
 
+def _emulate_local_score(tables, lidx, *, match_dist_min, match_dist_flat,
+                         match_weight, trunc):
+    """Vectorized pure-JAX re-statement of ``_score_kernel`` (the CPU
+    default — see ops/grouped._resolve_impl).  Same per-element f32 ops
+    and the same sequential accumulation order over the K points as the
+    kernel's grid-k accumulation, so results are bit-equal."""
+    K, R, L = tables.shape
+    N = lidx.shape[1]
+    tab2 = tables.reshape(K, R * L)
+
+    def body(k, carry):
+        acc, mac = carry
+        d = jnp.take(tab2[k], lidx[k], axis=0)               # [N]
+        matched = d <= match_dist_min
+        contrib = jnp.maximum(
+            match_weight * (match_dist_min - jnp.maximum(d, match_dist_flat)),
+            0.0)
+        contrib = jnp.where(matched, contrib, 0.0)
+        return acc + contrib, mac + matched.astype(jnp.float32)
+
+    zero = jnp.zeros((N,), jnp.float32)
+    return jax.lax.fori_loop(0, K, body, (zero, zero))
+
+
 @functools.partial(
     jax.jit, static_argnames=("match_dist_min", "match_dist_flat",
-                              "match_weight", "trunc")
+                              "match_weight", "trunc", "impl")
 )
 def local_score(
     tables: jnp.ndarray,        # [K, R, 128] f32 local distance tables
@@ -83,6 +107,7 @@ def local_score(
     match_dist_flat: float,
     match_weight: float,
     trunc: float,
+    impl: str | None = None,
 ):
     """Fused likelihood scoring over ``[K points, N particles]``.
 
@@ -93,10 +118,18 @@ def local_score(
     tables by the caller (invalid point => all-``trunc`` table => no
     match, zero contribution).
     """
+    from mcl_3dl_tpu.ops.grouped import _resolve_impl
+
     K, R, L = tables.shape
     assert L == 128
     _, N = lidx.shape
     assert N % 128 == 0
+    impl = _resolve_impl(impl)
+    if impl == "emulate":
+        return _emulate_local_score(
+            tables, lidx, match_dist_min=float(match_dist_min),
+            match_dist_flat=float(match_dist_flat),
+            match_weight=float(match_weight), trunc=float(trunc))
     nrows = N // 128
     bq = _pick_bq(nrows)
     nb = nrows // bq
@@ -126,6 +159,6 @@ def local_score(
             jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
             jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
         ],
-        interpret=jax.default_backend() == "cpu",
+        interpret=impl == "interpret",
     )(tables, idx3)
     return score.reshape(N), match.reshape(N)

@@ -13,6 +13,7 @@ from mcl_3dl_tpu.parallel.sharding import (
     shard_state,
     sharded_filter_step,
     fleet_filter_step,
+    fleet_filter_step_grouped,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "shard_state",
     "sharded_filter_step",
     "fleet_filter_step",
+    "fleet_filter_step_grouped",
 ]

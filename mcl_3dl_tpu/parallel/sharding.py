@@ -96,9 +96,84 @@ def sharded_filter_step(engine, mesh: Mesh):
     )
 
 
+def fleet_filter_step_grouped(engine, mesh: Mesh):
+    """Fleet step with the FAST per-robot tiers (VERDICT r4 §3): robots
+    are sharded over the mesh's ``"robots"`` axis via ``shard_map``;
+    each shard runs its local robots SEQUENTIALLY (``lax.scan``) through
+    the full single-robot fused step — pose-grouped Pallas kernels,
+    early-exit raycast marches, per-robot lax.cond tiers — because
+    inside shard_map control flow is device-local (the same property
+    ``sharded_filter_step`` exploits for the particle axis).
+
+    Two structural wins over the ``vmap`` + ``spmd_safe`` path
+    (``fleet_filter_step``):
+
+    * the measurement tiers ENGAGE — the vmapped path must run the
+      shard-count-invariant XLA tier (Pallas has no GSPMD partitioning
+      and no batching rule for scalar-prefetch grids);
+    * the per-shard working set is ONE robot's measurement state at a
+      time instead of all local robots' ``[R_local * P, K]`` transforms
+      — the r4 128x10k OOM (22.3 GB) was exactly that XLA-tier working
+      set, so the scan path re-opens the BASELINE config-5 robot counts
+      on bounded memory.
+
+    Same signature as ``fleet_filter_step``.  Robots must divide evenly
+    over the robots mesh axis.
+    """
+    spec = _state_spec(True)
+    robots_axis = mesh.shape["robots"]
+    state_sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    robot = NamedSharding(mesh, P("robots"))
+    pr = P("robots")
+    rr = P()
+
+    def local(state_b, keys, df, df_beam, occ, cloud, cloud_label,
+              cloud_valid, normals, origins, odom_pos, odom_rot, prev_pos,
+              prev_rot, f_pos_b, f_ang_b, is_global_fix):
+        xs = (state_b, keys, cloud, cloud_label, cloud_valid, normals,
+              origins, odom_pos, odom_rot, prev_pos, prev_rot, f_pos_b,
+              f_ang_b, is_global_fix)
+
+        def one(carry, x):
+            (st, key, cl, cll, clv, nrm, org, op, orot, pp, prot, fp, fa,
+             gf) = x
+            out = engine._measurement_step(
+                st, key, df, df_beam, occ, cl, cll, clv, nrm, org, op,
+                orot, pp, prot, fp, fa, gf,
+            )
+            return carry, out
+
+        _, outs = jax.lax.scan(one, 0, xs)
+        return outs
+
+    in_specs = (pr, pr, rr, rr, rr, pr, pr, pr, pr, pr, pr, pr, pr, pr,
+                pr, pr, pr)
+    out_specs = (pr, pr, pr, pr, pr, pr)
+    step_sm = jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(
+        step_sm,
+        in_shardings=(
+            state_sh, robot, None, None, None, robot, robot, robot, robot,
+            robot, robot, robot, robot, robot, robot, robot, robot,
+        ),
+        out_shardings=(state_sh, robot, robot, robot, robot, robot),
+    )
+
+
 def fleet_filter_step(engine, mesh: Mesh):
     """Batched fleet step: vmap over a leading robots axis, sharded
     ``("robots", "particles")``; the map stays shared/replicated.
+
+    The measurement models run ``spmd_safe`` (XLA tier): Pallas
+    local-table kernels have no GSPMD partitioning and no batching rule
+    for their scalar-prefetch grids, so the vmapped step cannot engage
+    them — use :func:`fleet_filter_step_grouped` for the fast tiers.
 
     Signature: ``step(state_batched, keys[R,2], df, df_beam, occ,
     cloud[R,P,3], cloud_label[R,P], cloud_valid[R,P], normals[R,P,3],

@@ -128,6 +128,11 @@ def main():
     ap.add_argument("--steps", type=int, default=None,
                     help="synthetic drive length (default 220: >=200 "
                          "gated poses); not applicable with --log")
+    ap.add_argument("--interp", default=None,
+                    choices=["nearest", "trilinear"],
+                    help="override the likelihood distance-field "
+                         "sampling mode for ALL gate variants (default: "
+                         "the shipped config default)")
     args = ap.parse_args()
     if args.log and args.steps is not None:
         ap.error("--steps applies to the synthetic drive, not --log")
@@ -137,20 +142,26 @@ def main():
     from mcl_3dl_tpu.io.replay import ReplayLog
     from tools.make_tier3_log import build_log
 
+    base_override = (
+        {"likelihood.interp": args.interp} if args.interp else {})
     gates = {}
     if args.log:
         log = ReplayLog.load(args.log)
         source = os.path.basename(args.log)
-        gates["with_imu"] = run_gate(log, use_imu=True)
-        gates["no_imu"] = run_gate(log, use_imu=False)
+        gates["with_imu"] = run_gate(log, use_imu=True,
+                                     params_override=base_override)
+        gates["no_imu"] = run_gate(log, use_imu=False,
+                                   params_override=base_override)
     else:
         steps = args.steps
         log = build_log(n_steps=steps)
         source = (f"synthetic_circuit_v2 (tools/make_tier3_log.py, seed 0:"
                   f" {steps} steps, dual-LIDAR, sharp corners, ~2 cm/s + "
                   f"yaw odometric drift, kidnap at step 24)")
-        gates["with_imu"] = run_gate(log, use_imu=True)
-        gates["no_imu"] = run_gate(log, use_imu=False)
+        gates["with_imu"] = run_gate(log, use_imu=True,
+                                     params_override=base_override)
+        gates["no_imu"] = run_gate(log, use_imu=False,
+                                   params_override=base_override)
 
         # no-odom variant (the reference ships
         # config/test_localization_noodom.yaml and runs the same bag
@@ -170,6 +181,7 @@ def main():
                                 s_start=0.2)
         gates["no_odom"] = run_gate(log_no_odom, use_imu=True,
                                     params_override=dict(
+            base_override,
             fake_odom=True,
             num_particles=256,
             resample_var_x=0.2, resample_var_y=0.2, resample_var_z=0.05,
@@ -180,6 +192,8 @@ def main():
         ))
 
     result = {"source": source, **gates}
+    if args.interp:
+        result["interp"] = args.interp
     result["pass"] = all(g["pass"] for g in gates.values())
     print(json.dumps(result, indent=1))
     sys.exit(0 if result["pass"] else 1)
