@@ -42,7 +42,10 @@ def main():
     with jax.default_device(cpu):
         eng, args_cpu = ge._build_engine_and_inputs(
             num_particles=n_particles, cloud_points=4096, seed=0,
-            fast=True,   # nearest-cell sampling: the 1M-particle perf config
+            # nearest-cell sampling — since r5 this IS the shipped
+            # default (config.py LikelihoodParams.interp; all three
+            # Tier-3 gates certified under it, docs/TIER3_GATE.json)
+            fast=True,
         )
     args = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), args_cpu)
 
@@ -159,13 +162,14 @@ def main():
             file=sys.stderr,
         )
 
-        # --- default-config row: interp=trilinear (config.py default,
-        # the Tier-3 correctness gate's configuration) at steady state.
+        # --- trilinear-option row: interp=trilinear (the optional
+        # smooth-interpolation mode; the shipped default is nearest
+        # since r5) at steady state.
         cpu2 = jax.devices("cpu")[0]
         with jax.default_device(cpu2):
             eng_d, args_d_cpu = ge._build_engine_and_inputs(
                 num_particles=n_particles, cloud_points=4096, seed=0,
-                fast=False,
+                interp="trilinear",
             )
         args_d = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
                               args_d_cpu)
@@ -173,7 +177,7 @@ def main():
         t0 = time.monotonic()
         out_d = step_d(*args_d)
         _ = float(np.asarray(out_d[0].prob[0]))
-        print(f"default compile+first-run: {time.monotonic()-t0:.1f}s",
+        print(f"trilinear compile+first-run: {time.monotonic()-t0:.1f}s",
               file=sys.stderr)
         state_d = out_d[0]
         for i in range(6):
@@ -187,13 +191,13 @@ def main():
             state_d = out_d[0]
         _ = float(np.asarray(state_d.prob[0]))
         dt_d = (time.monotonic() - t0) / iters_d
-        extra["default_step_ms"] = dt_d * 1e3
-        extra["default_tier_like"] = int(np.asarray(out_d[-1]["tier_like"]))
-        extra["default_tier_beam"] = int(np.asarray(out_d[-1]["tier_beam"]))
+        extra["trilinear_step_ms"] = dt_d * 1e3
+        extra["trilinear_tier_like"] = int(np.asarray(out_d[-1]["tier_like"]))
+        extra["trilinear_tier_beam"] = int(np.asarray(out_d[-1]["tier_beam"]))
         print(
-            f"default (trilinear) step: {dt_d*1e3:.2f} ms | tiers: "
-            f"like={extra['default_tier_like']} "
-            f"beam={extra['default_tier_beam']}",
+            f"trilinear (option) step: {dt_d*1e3:.2f} ms | tiers: "
+            f"like={extra['trilinear_tier_like']} "
+            f"beam={extra['trilinear_tier_beam']}",
             file=sys.stderr,
         )
 

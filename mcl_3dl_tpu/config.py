@@ -35,10 +35,16 @@ class LikelihoodParams:
     match_weight: float = 5.0
     match_dist_min: float = 0.2
     match_dist_flat: float = 0.05
-    # distance-field sampling: "trilinear" (8 gathers/query, smooth) or
-    # "nearest" (1 gather/query, half-cell quantization).  TPU-framework
-    # addition; global localization always uses nearest.
-    interp: str = "trilinear"
+    # distance-field sampling: "nearest" (1 gather/query, the grouped
+    # Pallas fast tier, half-cell quantization) or "trilinear"
+    # (8 gathers/query, smooth interpolation).  TPU-framework addition;
+    # global localization always uses nearest.  DEFAULT nearest: the
+    # reference's own semantic is an exact (non-interpolated) nearest-
+    # neighbor distance (chunked_kdtree.h:217-237), and all three
+    # Tier-3 gate variants pass under nearest with the same margins as
+    # trilinear (docs/TIER3_GATE.json r5 vs the r4 trilinear run), so
+    # the certified config IS the fast config.
+    interp: str = "nearest"
 
 
 @dataclass

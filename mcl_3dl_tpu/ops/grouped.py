@@ -407,8 +407,9 @@ def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
     return codes, z_used
 
 
-NBLK = R_ROWS // 16            # 16-row table blocks per window
-SKIP_ALL = (1 << NBLK) - 1     # skip word with every block bit set
+NBLK = R_ROWS // 16            # 16-row aligned table blocks per window
+NHALF = R_ROWS // 8            # skip granularity: 8-row half-blocks
+SKIP_ALL = (1 << NHALF) - 1    # skip word with every half-block bit set
 
 
 # Process-wide implementation override for environments where the
@@ -588,11 +589,15 @@ def _emulate_beam_pen(tile_group, meta, pts_fp, aux, tables, gp_A, *,
 
 
 def pack_block_skip(skip_bool):
-    """Pack a [..., NBLK] bool block-skip mask into i32 words (bit b =
-    block b).  A set bit certifies the block cannot contribute (its
-    minimum distance fails every trigger threshold), so the kernels'
-    row loop may leave the fill value in place — an exact no-op."""
-    bits = skip_bool.astype(jnp.int32) << jnp.arange(NBLK, dtype=jnp.int32)
+    """Pack a [..., NHALF] bool half-block-skip mask into i32 words
+    (bit b = 8-row half-block b; bits 2i and 2i+1 cover the two halves
+    of 16-row aligned block i).  A set bit certifies the half-block
+    cannot contribute (its minimum distance fails every trigger
+    threshold), so the kernels' row loop may leave the fill value in
+    place — an exact no-op.  8-row granularity doubles the skip
+    resolution over whole (16, 128) vreg blocks while keeping the VMEM
+    block reads 16-row aligned (a Mosaic bf16 tiling requirement)."""
+    bits = skip_bool.astype(jnp.int32) << jnp.arange(NHALF, dtype=jnp.int32)
     return jnp.sum(bits, axis=-1).astype(jnp.int32)
 
 
@@ -631,8 +636,9 @@ def query_bands(stats: GroupStats, pts):
 
 
 def block_min_dist(tables, trunc, lo=None, z_used=None, bands=None):
-    """Per-16-row-block minimum distance [..., NBLK] of a [..., R, ZW]
-    bf16 code table, computed with the kernels' exact f32 scaling
+    """Per-8-row-half-block minimum distance [..., NHALF] of a
+    [..., R, ZW] bf16 code table, computed with the kernels' exact f32
+    scaling
     (code * trunc/255) so threshold comparisons are bit-consistent.
 
     ``lo`` [K, G, 3] (window origin), ``z_used`` [K, G] (window z
@@ -658,7 +664,7 @@ def block_min_dist(tables, trunc, lo=None, z_used=None, bands=None):
         mz = (z_abs >= zb[0][..., None]) & (z_abs <= zb[1][..., None])
         keep = rowm[..., None] & mz[..., None, :]            # [K, G, R, ZW]
         tables = jnp.where(keep, tables, jnp.bfloat16(255.0))
-    m = tables.reshape(lead + (NBLK, 16, ZW)).min(axis=(-2, -1))
+    m = tables.reshape(lead + (NHALF, 8, ZW)).min(axis=(-2, -1))
     return m.astype(jnp.float32) * jnp.float32(trunc / 255.0)
 
 
@@ -676,18 +682,33 @@ def _row_select(read_block, row, lane, fill, skip_word=None):
     ``pl.ds(b*16, 16)`` block start is provably aligned.  Returns
     selected codes [8, 128] f32.
 
-    ``skip_word``: optional packed per-block skip bits (bit b set =
-    block b's rows can only yield codes the caller's thresholds treat
-    exactly like the fill value, so the 16 lane-gathers are elided).
+    ``skip_word``: optional packed per-half-block skip bits (bit b set
+    = 8-row half-block b's rows can only yield codes the caller's
+    thresholds treat exactly like the fill value, so its 8 lane-gathers
+    are elided).  The VMEM read stays a 16-row aligned block (bf16
+    tiling); each half then runs under its own skip bit — static row
+    indices, so no dynamic sublane addressing.
     """
-    assert NBLK * 16 == R_ROWS
+    assert NBLK * 16 == R_ROWS and NHALF == 2 * NBLK
+
+    def _half(blk, bidx, h, d):
+        for j in range(8):
+            r = h * 8 + j
+            rowb = jnp.broadcast_to(blk[r:r + 1, :], row.shape)
+            v = jnp.take_along_axis(rowb, lane, axis=1)
+            d = jnp.where(row == bidx * 16 + r, v, d)
+        return d
 
     def heavy(bidx, d):
         blk = read_block(bidx).astype(jnp.float32)          # [16, ZW]
-        for j in range(16):
-            rowb = jnp.broadcast_to(blk[j:j + 1, :], row.shape)
-            v = jnp.take_along_axis(rowb, lane, axis=1)
-            d = jnp.where(row == bidx * 16 + j, v, d)
+        if skip_word is None:
+            return _half(blk, bidx, 1, _half(blk, bidx, 0, d))
+        d = jax.lax.cond(
+            ((skip_word >> (2 * bidx)) & 1) == 0,
+            lambda dd: _half(blk, bidx, 0, dd), lambda dd: dd, d)
+        d = jax.lax.cond(
+            ((skip_word >> (2 * bidx + 1)) & 1) == 0,
+            lambda dd: _half(blk, bidx, 1, dd), lambda dd: dd, d)
         return d
 
     if skip_word is None:
@@ -695,7 +716,7 @@ def _row_select(read_block, row, lane, fill, skip_word=None):
     else:
         def body(bidx, d):
             return jax.lax.cond(
-                ((skip_word >> bidx) & 1) == 0, heavy,
+                ((skip_word >> (2 * bidx)) & 3) != 3, heavy,
                 lambda _b, dd: dd, bidx, d)
 
     return jax.lax.fori_loop(

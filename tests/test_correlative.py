@@ -1,6 +1,7 @@
 """Correlative (FFT) global localization tests."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mcl_3dl_tpu.config import Params
@@ -52,6 +53,7 @@ def test_correlation_recovers_translation():
     assert int(yaw_i[0]) == 0
 
 
+@pytest.mark.slow
 def test_correlative_global_localization_end_to_end():
     room = make_room(grid=0.15)
     # asymmetric pillar

@@ -54,8 +54,20 @@ def test_measurement_converges_to_true_pose():
     assert res is not None
     err = np.linalg.norm(np.asarray(res.raw_pos) - TRUE_POS)
     assert err < 0.25, (res.raw_pos, TRUE_POS)
-    assert res.match_ratio_max > 0.6
+    # nearest-cell sampling (the r5 default) quantizes borderline
+    # matches out on this sparse 0.15-grid room: ratio ~0.52 vs ~0.65
+    # trilinear.  Pose accuracy is unaffected (gate above; Tier-3
+    # certified) — match_ratio_thresh is a tunable.
+    assert res.match_ratio_max > 0.45
     assert res.particle_size == 64
+
+    # the optional trilinear mode keeps the higher absolute ratio
+    from mcl_3dl_tpu.config import LikelihoodParams
+
+    eng_t, room_t = make_engine(
+        likelihood=LikelihoodParams(interp="trilinear"))
+    res_t = run_scans(eng_t, room_t, TRUE_POS, rot, n=8)
+    assert res_t.match_ratio_max > 0.6
 
 
 def test_measurement_with_beam_model():
@@ -178,6 +190,7 @@ def test_landmark_shifts_posterior():
     assert np.linalg.norm(mean - [1.5, 1.0, 0.5]) < 0.2
 
 
+@pytest.mark.slow
 def test_global_localization_recovers():
     # mirror test_global_localization.cpp:179-327 — relocalize from a
     # large offset using the service

@@ -16,10 +16,12 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+@pytest.mark.slow
 def test_flagship_step_grouped_tiers_engage():
     import __graft_entry__ as ge
     from mcl_3dl_tpu.ops.grouped import TILE

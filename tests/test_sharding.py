@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mcl_3dl_tpu.parallel import make_mesh, shard_state
 from mcl_3dl_tpu import pf, state as st
@@ -44,6 +45,7 @@ def test_sharded_resample_matches_single_device():
     assert np.allclose(np.asarray(out1.pos), np.asarray(out2.pos), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -56,6 +58,7 @@ def test_graft_entry_single():
     assert np.isfinite(aux["e_pos"]).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -64,6 +67,7 @@ def test_graft_entry_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_measure_models_grouped_tier_per_shard():
     """Under shard_map, each shard must run the pose-grouped Pallas
     tier on its LOCAL particle slice (tier 0), and the sharded scores

@@ -17,9 +17,12 @@ IMU events and is covered by the committed artifact run).
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+@pytest.mark.slow
 def test_tier3_gate_full_drive_with_kidnap():
     from tools.make_tier3_log import build_log
     from tools.run_tier3 import run_gate

@@ -191,9 +191,10 @@ def main():
             init_x=-2.8, init_y=-2.6,
         ))
 
+    from mcl_3dl_tpu.config import LikelihoodParams
+
     result = {"source": source, **gates}
-    if args.interp:
-        result["interp"] = args.interp
+    result["interp"] = args.interp or LikelihoodParams().interp
     result["pass"] = all(g["pass"] for g in gates.values())
     print(json.dumps(result, indent=1))
     sys.exit(0 if result["pass"] else 1)
