@@ -206,12 +206,15 @@ def main():
         # the reference, entering global localization shrinks the
         # sampled point count (setGlobalLocalizationStatus,
         # lidar_measurement_model_likelihood.cpp:63-77) — num_points *
-        # num_particles / n_active, floored at num_points_global=8.
-        # Seed >= 100k particles via the actual service (standable
-        # surface x yaw grid, src/mcl_3dl.cpp:1039-1099) and measure
-        # the step with the state re-pinned to the full seeded count
-        # each iteration (the in-step 0.75x decay would otherwise
-        # shrink the workload mid-measurement).
+        # num_particles / n_active, floored at num_points_global=8 —
+        # and the engine compiles the GLOBAL-MODE graph specialization
+        # (8 likelihood slots, beam dropped at its 0 budget) the host
+        # selects above num_particles.  Seed >= 100k particles via the
+        # actual service (standable surface x yaw grid,
+        # src/mcl_3dl.cpp:1039-1099) and measure the step with the
+        # state re-pinned to the full seeded count each iteration (the
+        # in-step 0.75x decay would otherwise shrink the workload
+        # mid-measurement).
         with jax.default_device(cpu):
             eng_g, args_g_cpu = ge._build_engine_and_inputs(
                 num_particles=1 << 14, cloud_points=4096, seed=0,
@@ -223,7 +226,9 @@ def main():
             args_g_cpu = (eng_g.pstate,) + args_g_cpu[1:]
         args_g = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
                               args_g_cpu)
-        step_g = jax.jit(eng_g._measurement_step)
+        from functools import partial as _partial
+        step_g = jax.jit(_partial(eng_g._measurement_step,
+                                  global_mode=True))
         t0 = time.monotonic()
         gout = step_g(*args_g)
         _ = float(np.asarray(gout[0].prob[0]))

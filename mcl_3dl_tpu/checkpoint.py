@@ -83,6 +83,7 @@ def load_checkpoint(engine, path) -> None:
               "tf_tolerance_base", "localized_last",
               "global_localization_fix_cnt", "cnt_measure"):
         setattr(engine, k, meta[k])
+    engine._n_active_host = int(engine.pstate.n_active)
     # The restored f_pos/f_ang carry the smoothing continuity only once
     # the source engine had measured (and so seeded map->odom); a
     # checkpoint saved before the first measurement must restore with

@@ -162,7 +162,15 @@ class MCL3DL:
         # one jit object for the fused step; jit's own cache re-traces
         # per (capacity, cloud bucket, n_origins) shape combination.
         # Recreated on map load/update to drop stale compilations.
+        # The global-mode twin compiles the num_points_global-sized
+        # specialization (see _measurement_step global_mode); the host
+        # picks between them from the particle count.
         self._step = jax.jit(self._measurement_step)
+        self._step_global = jax.jit(
+            partial(self._measurement_step, global_mode=True))
+        # host mirror of n_active for graph selection (avoids a device
+        # fetch before every step; refreshed wherever n_active changes)
+        self._n_active_host = p.num_particles
         self._predict_jit = jax.jit(
             partial(
                 predict_differential_drive,
@@ -229,6 +237,8 @@ class MCL3DL:
         self._accum_clear()
         self.accum.reset()
         self._step = jax.jit(self._measurement_step)
+        self._step_global = jax.jit(
+            partial(self._measurement_step, global_mode=True))
         return self.map
 
     def update_map(self, points: np.ndarray, labels: Optional[np.ndarray] = None):
@@ -250,6 +260,8 @@ class MCL3DL:
         )
         self.map = self.map.merged_with(pts, np.round(attrs[:, 0]).astype(np.uint32))
         self._step = jax.jit(self._measurement_step)
+        self._step_global = jax.jit(
+            partial(self._measurement_step, global_mode=True))
         return self.map
 
     # ------------------------------------------------------------- pose seeds
@@ -267,6 +279,7 @@ class MCL3DL:
             jnp.asarray(cov66, jnp.float32),
         )
         self.pstate = reset_error_integrals(self.pstate)
+        self._n_active_host = self.params.num_particles
         # state_prev_ is intentionally left alone: the next measurement
         # detects the re-seed as a pose jump and resets the TF smoothers
         # (src/mcl_3dl.cpp:155-198 never touches state_prev_).
@@ -492,7 +505,12 @@ class MCL3DL:
                 self.f_pos, jnp.asarray(mpos, jnp.float32))
             self._tf_seeded = True
 
-        step = self._step
+        # graph selection mirrors the reference's host-side
+        # setGlobalLocalizationStatus reconfiguration: above
+        # num_particles the global-mode specialization runs (shrunk
+        # point budgets; beam dropped when its global budget is 0)
+        step = (self._step_global
+                if self._n_active_host > p.num_particles else self._step)
         (self.pstate, self.f_pos, self.f_ang, self.state_prev_pos,
          self.state_prev_rot, aux) = step(
             self.pstate,
@@ -551,6 +569,7 @@ class MCL3DL:
         self.entropy = float(aux["entropy"])
         self.status.match_ratio = float(aux["match_ratio_max"])
         self.status.particle_size = int(self.pstate.n_active)
+        self._n_active_host = self.status.particle_size
         self.status.entropy = self.entropy
 
         if p.output_pcd:
@@ -596,17 +615,23 @@ class MCL3DL:
 
     def _measure_models(self, pos, rot, mask, n_active, df, df_beam, occ,
                         like_pts, like_valid, beam_pts, beam_labels,
-                        beam_valid, origins, *, spmd_safe=False):
+                        beam_valid, origins, *, spmd_safe=False,
+                        use_beam=None):
         """Per-particle measurement likelihoods (measure_func,
         src/mcl_3dl.cpp:402-425): likelihood-field + beam models with
         their tiered fast paths.  Pure per-particle math — safe to run
         per shard under ``shard_map`` (``parallel/sharding.py``) on the
         local particle slice.
 
+        ``use_beam`` (static) overrides ``params.use_beam_model`` — the
+        global-mode graph passes False when the beam point budget is 0
+        so the raycast march is not built at all.
+
         Returns ``(lik_l, qual_l, lik_b, tier_like, tier_beam)``.
         """
         p = self.params
         lp, bp = p.likelihood, p.beam
+        use_beam_model = p.use_beam_model if use_beam is None else use_beam
         # Trilinear sampling for normal tracking accuracy; 1-gather
         # nearest-cell sampling during global localization (huge particle
         # counts, pose uncertainty >> half a cell).
@@ -620,7 +645,7 @@ class MCL3DL:
         # probe count covers the longest clipped ray (+1 m sensor-
         # origin margin).  nprobe capped by its VMEM table block.
         use_grouped_beam = False
-        if p.use_beam_model and not bp.use_raycast_using_dda:
+        if use_beam_model and not bp.use_raycast_using_dda:
             z_ext = max(abs(bp.clip_z_min), abs(bp.clip_z_max))
             steps_g = int(math.ceil(
                 (math.hypot(bp.clip_far, z_ext) + bp.hit_range + 1.0)
@@ -691,7 +716,7 @@ class MCL3DL:
                     trilinear=True, rmat=rmat, with_info=True,
                 ),
             )
-        if p.use_beam_model:
+        if use_beam_model:
             if bp.use_raycast_using_dda:
                 num_steps = int(
                     math.ceil((bp.clip_far + bp.hit_range)
@@ -756,7 +781,7 @@ class MCL3DL:
         cloud, cloud_label, cloud_valid, normals, origins,
         odom_pos, odom_rot, prev_pos, prev_rot,
         f_pos, f_ang, is_global_fix, std_warn_thresh=None,
-        *, spmd_safe=False, shard_mesh=None,
+        *, spmd_safe=False, shard_mesh=None, global_mode=False,
     ):
         """The fused measurement update (src/mcl_3dl.cpp:363-893 on device).
 
@@ -775,9 +800,30 @@ class MCL3DL:
         own trip count and the program's collectives deadlock) and the
         pure-XLA likelihood path (the Pallas local-table kernel cannot
         be GSPMD-partitioned).
+
+        ``global_mode=True`` (static) compiles the global-localization
+        specialization: the sampled point arrays are sized at the
+        models' GLOBAL budgets (``num_points_global``; the reference
+        reconfigures the models the same way on the host,
+        setGlobalLocalizationStatus,
+        lidar_measurement_model_likelihood.cpp:63-77) and a zero beam
+        budget drops the raycast march from the graph entirely — the
+        reference evaluates only the sampled points, so a graph that
+        still marches every full-budget slot with a validity mask pays
+        ~10x the honest cost at 100k+ particles.  The host selects the
+        graph from the particle count (``_measure_base``); during the
+        0.75x decay the point ramp is clipped at the global budget
+        until the count returns to ``num_particles`` (deviation: the
+        reference ramps smoothly back to the full budget — here the
+        last decay steps use the floor; the filter re-enters the full
+        graph one update later).
         """
         p = self.params
         lp, bp = p.likelihood, p.beam
+        like_slots = lp.num_points_global if global_mode else lp.num_points
+        beam_slots = bp.num_points_global if global_mode else bp.num_points
+        use_beam = p.use_beam_model and beam_slots > 0
+        beam_slots = max(beam_slots, 1)        # keep array shapes non-empty
         k_like, k_beam, k_resample, k_noise, k_expand = jax.random.split(key, 5)
         mask = state.active_mask()
         nf32 = state.n_active.astype(jnp.float32)
@@ -810,31 +856,37 @@ class MCL3DL:
                 sw.perform_weighting_ratio, sw.max_weight_ratio, sw.max_weight,
             )
             like_pts, like_ok, like_idx = sample_weighted_without_replacement(
-                k_like, cloud, weights, lp.num_points
+                k_like, cloud, weights, like_slots
             )
             bweights = sampler_with_normal_weights(
                 normals, beam_keep, cov_prev[:3, :3], mean_rot_prev,
                 sw.perform_weighting_ratio, sw.max_weight_ratio, sw.max_weight,
             )
             beam_pts, beam_ok, beam_idx = sample_weighted_without_replacement(
-                k_beam, cloud, bweights, bp.num_points
+                k_beam, cloud, bweights, beam_slots
             )
         else:
             like_pts, like_ok, like_idx = sample_uniform(
-                k_like, cloud, like_keep, lp.num_points
+                k_like, cloud, like_keep, like_slots
             )
             beam_pts, beam_ok, beam_idx = sample_uniform(
-                k_beam, cloud, beam_keep, bp.num_points
+                k_beam, cloud, beam_keep, beam_slots
             )
 
-        n_like = active_points(lp.num_points, lp.num_points_global)
+        # ramp from the FULL budgets (the reference's formula), clipped
+        # to the graph's static slot count
+        n_like = jnp.minimum(
+            active_points(lp.num_points, lp.num_points_global), like_slots)
         like_valid = like_ok & (
-            jnp.arange(lp.num_points, dtype=jnp.int32) < n_like
+            jnp.arange(like_slots, dtype=jnp.int32) < n_like
         )
-        n_beam = active_points(bp.num_points, bp.num_points_global)
+        n_beam = jnp.minimum(
+            active_points(bp.num_points, bp.num_points_global), beam_slots)
         beam_valid = beam_ok & (
-            jnp.arange(bp.num_points, dtype=jnp.int32) < n_beam
+            jnp.arange(beam_slots, dtype=jnp.int32) < n_beam
         )
+        if not use_beam:
+            beam_valid = jnp.zeros_like(beam_valid)
         beam_labels = cloud_label[beam_idx]
 
         # --- per-particle likelihoods (measure_func, src/mcl_3dl.cpp:402-425)
@@ -855,7 +907,7 @@ class MCL3DL:
                 lik_l, qual_l, lik_b, tl, tb = self._measure_models(
                     pos, rot, mask_l, n_act, df_, df_beam_, occ_,
                     lpts, lvalid, bpts, blabels, bvalid, orgs,
-                    spmd_safe=False,
+                    spmd_safe=False, use_beam=use_beam,
                 )
                 return lik_l, qual_l, lik_b, tl[None], tb[None]
 
@@ -878,7 +930,7 @@ class MCL3DL:
             lik_l, qual_l, lik_b, tier_like, tier_beam = self._measure_models(
                 state.pos, state.rot, mask, state.n_active, df, df_beam, occ,
                 like_pts, like_valid, beam_pts, beam_labels, beam_valid,
-                origins, spmd_safe=spmd_safe,
+                origins, spmd_safe=spmd_safe, use_beam=use_beam,
             )
 
         odom_error = normal_likelihood(
@@ -1007,6 +1059,7 @@ class MCL3DL:
         """resize_mcl_particle service (src/mcl_3dl.cpp:1019-1025)."""
         self._grow_capacity(n)
         self.pstate = jax.jit(pf.resize)(self.pstate, jnp.asarray(n, jnp.int32))
+        self._n_active_host = n
         self._maybe_shrink_capacity()
 
     def expansion_reset(self) -> None:
@@ -1057,6 +1110,7 @@ class MCL3DL:
             prob=jnp.asarray(np.where(active, prob, 0.0), jnp.float32),
             prob_bias=jnp.ones((cap,), jnp.float32),
         )
+        self._n_active_host = n
         return n
 
     def global_localization_correlative(
@@ -1202,6 +1256,7 @@ class MCL3DL:
             prob=jnp.asarray(prob, jnp.float32),
             prob_bias=jnp.ones((cap,), jnp.float32),
         )
+        self._n_active_host = n
         return n
 
     def _landmark_step(self, state, key, mpos, mrot, nd_a, nd_sigma_inv):

@@ -75,9 +75,18 @@ from jax.experimental.pallas import tpu as pltpu
 # heavy-tailed DIAGONAL rotation coefficients (quadratic in in-bin
 # angle deviations, kurtosis ~16-19, sigma tiny) from marking ~4% of
 # particles as outliers while costing <1 cell of box extent.
-G_YAW = 24
-G_PITCH = 2
-G_ROLL = 2
+# Bin counts are env-overridable (process-wide, read at import): the
+# 24x2x2 default is tuned for the 1M flagship; per-(point, bin) costs
+# — table extraction ([K, G, R, ZW] row gathers, ~33 ms at G=97) and
+# tile padding (up to G_GROUPS extra TILE-sized tiles) — are
+# PARTICLE-COUNT-INDEPENDENT, so small-N workloads (a fleet's 10k
+# particles per robot) can run a much smaller grid where the converged
+# envelopes still fit (tools/exp_fleet_chip.py measures 6x1x1).
+import os as _os_bins
+
+G_YAW = int(_os_bins.environ.get("MCL_G_YAW", "24"))
+G_PITCH = int(_os_bins.environ.get("MCL_G_PITCH", "2"))
+G_ROLL = int(_os_bins.environ.get("MCL_G_ROLL", "2"))
 G_SPLIT = G_YAW * G_PITCH * G_ROLL
 G_GROUPS = G_SPLIT + 1         # last bin: envelope outliers + inactive
 TILE = 1024
@@ -155,10 +164,16 @@ def group_stats(pos, rot_mat, rot, weights3, cell, origin3, active) -> GroupStat
     yspan = jnp.maximum(yhi - ylo, 1e-6)
     yb = jnp.clip(((yaw - ylo) / yspan * G_YAW).astype(jnp.int32), 0, G_YAW - 1)
     nact = jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)
-    pmid = jnp.sum(jnp.where(active, pitch, 0.0)) / nact
-    pb = (pitch > pmid).astype(jnp.int32)
-    rmid = jnp.sum(jnp.where(active, roll, 0.0)) / nact
-    rb = (roll > rmid).astype(jnp.int32)
+    if G_PITCH > 1:
+        pmid = jnp.sum(jnp.where(active, pitch, 0.0)) / nact
+        pb = (pitch > pmid).astype(jnp.int32)
+    else:
+        pb = jnp.zeros_like(yb)
+    if G_ROLL > 1:
+        rmid = jnp.sum(jnp.where(active, roll, 0.0)) / nact
+        rb = (roll > rmid).astype(jnp.int32)
+    else:
+        rb = jnp.zeros_like(yb)
     g0 = (yb * G_PITCH + pb) * G_ROLL + rb                       # [N] content bin
 
     # A = diag(w) @ R / cell (9), b = (pos * w - origin) / cell (3)
@@ -407,9 +422,17 @@ def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
     return codes, z_used
 
 
+import os as _os
+
 NBLK = R_ROWS // 16            # 16-row aligned table blocks per window
-NHALF = R_ROWS // 8            # skip granularity: 8-row half-blocks
-SKIP_ALL = (1 << NHALF) - 1    # skip word with every half-block bit set
+# Skip granularity (rows per skip bit): 8 = half-block bits (finer
+# skips, two conds per live block), 16 = whole-block bits.  Module
+# constant baked into the kernels at trace time; the env override
+# exists for A/B timing on the chip.
+SKIP_GRAN = int(_os.environ.get("MCL_SKIP_GRAN", "8"))
+assert SKIP_GRAN in (8, 16)
+NHALF = R_ROWS // SKIP_GRAN    # number of skip bits per window
+SKIP_ALL = (1 << NHALF) - 1    # skip word with every skip bit set
 
 
 # Process-wide implementation override for environments where the
@@ -664,7 +687,7 @@ def block_min_dist(tables, trunc, lo=None, z_used=None, bands=None):
         mz = (z_abs >= zb[0][..., None]) & (z_abs <= zb[1][..., None])
         keep = rowm[..., None] & mz[..., None, :]            # [K, G, R, ZW]
         tables = jnp.where(keep, tables, jnp.bfloat16(255.0))
-    m = tables.reshape(lead + (NHALF, 8, ZW)).min(axis=(-2, -1))
+    m = tables.reshape(lead + (NHALF, SKIP_GRAN, ZW)).min(axis=(-2, -1))
     return m.astype(jnp.float32) * jnp.float32(trunc / 255.0)
 
 
@@ -682,14 +705,35 @@ def _row_select(read_block, row, lane, fill, skip_word=None):
     ``pl.ds(b*16, 16)`` block start is provably aligned.  Returns
     selected codes [8, 128] f32.
 
-    ``skip_word``: optional packed per-half-block skip bits (bit b set
-    = 8-row half-block b's rows can only yield codes the caller's
-    thresholds treat exactly like the fill value, so its 8 lane-gathers
-    are elided).  The VMEM read stays a 16-row aligned block (bf16
-    tiling); each half then runs under its own skip bit — static row
-    indices, so no dynamic sublane addressing.
+    ``skip_word``: optional packed skip bits at ``SKIP_GRAN``-row
+    granularity (a set bit certifies its rows can only yield codes the
+    caller's thresholds treat exactly like the fill value, so their
+    lane-gathers are elided).  The VMEM read stays a 16-row aligned
+    block (bf16 tiling); at SKIP_GRAN=8 each half of the block runs
+    under its own skip bit — static row indices, so no dynamic sublane
+    addressing.
     """
-    assert NBLK * 16 == R_ROWS and NHALF == 2 * NBLK
+    assert NBLK * 16 == R_ROWS
+
+    if SKIP_GRAN == 16:
+        def heavy(bidx, d):
+            blk = read_block(bidx).astype(jnp.float32)      # [16, ZW]
+            for j in range(16):
+                rowb = jnp.broadcast_to(blk[j:j + 1, :], row.shape)
+                v = jnp.take_along_axis(rowb, lane, axis=1)
+                d = jnp.where(row == bidx * 16 + j, v, d)
+            return d
+
+        if skip_word is None:
+            body = heavy
+        else:
+            def body(bidx, d):
+                return jax.lax.cond(
+                    ((skip_word >> bidx) & 1) == 0, heavy,
+                    lambda _b, dd: dd, bidx, d)
+
+        return jax.lax.fori_loop(
+            0, NBLK, body, jnp.full(row.shape, fill, jnp.float32))
 
     def _half(blk, bidx, h, d):
         for j in range(8):

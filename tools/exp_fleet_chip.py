@@ -55,6 +55,11 @@ def main():
     results = []
     cpu = jax.devices("cpu")[0]
     npart = 10240
+    only = os.environ.get("FLEET_ONLY", "")          # "scan" skips vmap
+    out_name = os.environ.get("FLEET_OUT", "FLEET_CHIP.json")
+    scan_configs = tuple(
+        int(x) for x in os.environ.get(
+            "FLEET_SCAN_ROBOTS", "16,64,128,256,1024").split(","))
 
     def build(robots):
         with jax.default_device(cpu):
@@ -83,7 +88,7 @@ def main():
         return eng, state_b, keys, rest
 
     # ---- vmapped spmd_safe path (XLA tier) --------------------------------
-    for robots in (16, 64, 128):
+    for robots in (() if only == "scan" else (16, 64, 128)):
         eng, state_b, keys, rest = build(robots)
         vstep = jax.jit(jax.vmap(
             partial(eng._measurement_step, spmd_safe=True),
@@ -124,7 +129,7 @@ def main():
 
     # ---- scan_grouped path (fast tiers per robot) -------------------------
     mesh = make_mesh(1, robots=1)
-    for robots in (16, 64, 128, 256, 1024):
+    for robots in scan_configs:
         eng, state_b, keys, rest = build(robots)
         step = fleet_filter_step_grouped(eng, mesh)
         t0 = time.monotonic()
@@ -166,7 +171,7 @@ def main():
         del out, state, state_b, step
 
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                        "FLEET_CHIP.json")
+                        out_name)
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {os.path.normpath(path)}")

@@ -68,6 +68,7 @@ def run_config(n_particles, iters=50):
     t_fetch = float(np.median(fetches))
 
     blocks = []
+    block_tiers = []
     k = 6
     for _r in range(REPEATS):
         t0 = time.monotonic()
@@ -77,6 +78,9 @@ def run_config(n_particles, iters=50):
             k += 1
         _ = float(np.asarray(state.prob[0]))
         blocks.append(time.monotonic() - t0)
+        aux_r = jax.device_get(out[-1])
+        block_tiers.append([int(np.asarray(aux_r["tier_like"])),
+                            int(np.asarray(aux_r["tier_beam"]))])
     dt = (float(np.median(blocks)) - t_fetch) / iters
 
     like_pts = eng.params.likelihood.num_points
@@ -97,6 +101,7 @@ def run_config(n_particles, iters=50):
         "block_spread_ms_per_step": [
             round((min(blocks) - t_fetch) / iters * 1e3, 3),
             round((max(blocks) - t_fetch) / iters * 1e3, 3)],
+        "block_end_tiers": block_tiers,
     }
     print(json.dumps(row), flush=True)
     return row
