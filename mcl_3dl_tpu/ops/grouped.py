@@ -425,11 +425,13 @@ def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
 import os as _os
 
 NBLK = R_ROWS // 16            # 16-row aligned table blocks per window
-# Skip granularity (rows per skip bit): 8 = half-block bits (finer
-# skips, two conds per live block), 16 = whole-block bits.  Module
-# constant baked into the kernels at trace time; the env override
-# exists for A/B timing on the chip.
-SKIP_GRAN = int(_os.environ.get("MCL_SKIP_GRAN", "8"))
+# Skip granularity (rows per skip bit): 16 = whole-vreg-block bits
+# (the default), 8 = half-block bits.  Finer bits skip more rows but
+# cost two nested scf.ifs per live block — measured SLOWER on the v5e
+# at the 1M flagship (633.5 ms vs 574.6 ms engaged, r5 A/B), so 16 is
+# the default and 8 stays as the documented experiment.  Module
+# constant baked into the kernels at trace time.
+SKIP_GRAN = int(_os.environ.get("MCL_SKIP_GRAN", "16"))
 assert SKIP_GRAN in (8, 16)
 NHALF = R_ROWS // SKIP_GRAN    # number of skip bits per window
 SKIP_ALL = (1 << NHALF) - 1    # skip word with every skip bit set

@@ -119,6 +119,14 @@ def fleet_filter_step_grouped(engine, mesh: Mesh):
 
     Same signature as ``fleet_filter_step``.  Robots must divide evenly
     over the robots mesh axis.
+
+    Sizing note (measured, docs/FLEET_CHIP_SMALLBINS.json): the grouped
+    machinery's per-(point, bin) costs are particle-count-independent
+    and the default 24x2x2 pose grid is sized for the 1M flagship;
+    fleet workloads at ~10k particles/robot should right-size it
+    (``MCL_G_YAW=6 MCL_G_PITCH=1 MCL_G_ROLL=1``) — 5-7 ms marginal per
+    robot vs ~45 ms at the default grid, 3.4x the vmap path's best
+    per-robot rate, and 1024 robots x 8192 particles fit one v5e chip.
     """
     spec = _state_spec(True)
     robots_axis = mesh.shape["robots"]

@@ -54,7 +54,7 @@ def main():
 
     results = []
     cpu = jax.devices("cpu")[0]
-    npart = 10240
+    npart = int(os.environ.get("FLEET_NPART", "10240"))
     only = os.environ.get("FLEET_ONLY", "")          # "scan" skips vmap
     out_name = os.environ.get("FLEET_OUT", "FLEET_CHIP.json")
     scan_configs = tuple(
