@@ -226,9 +226,7 @@ def main():
             args_g_cpu = (eng_g.pstate,) + args_g_cpu[1:]
         args_g = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
                               args_g_cpu)
-        from functools import partial as _partial
-        step_g = jax.jit(_partial(eng_g._measurement_step,
-                                  global_mode=True))
+        step_g = eng_g._step_global     # the engine's own global graph
         t0 = time.monotonic()
         gout = step_g(*args_g)
         _ = float(np.asarray(gout[0].prob[0]))

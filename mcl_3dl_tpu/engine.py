@@ -168,6 +168,7 @@ class MCL3DL:
         self._step = jax.jit(self._measurement_step)
         self._step_global = jax.jit(
             partial(self._measurement_step, global_mode=True))
+        self._step_global_cache = {}
         # host mirror of n_active for graph selection (avoids a device
         # fetch before every step; refreshed wherever n_active changes)
         self._n_active_host = p.num_particles
@@ -239,6 +240,7 @@ class MCL3DL:
         self._step = jax.jit(self._measurement_step)
         self._step_global = jax.jit(
             partial(self._measurement_step, global_mode=True))
+        self._step_global_cache = {}
         return self.map
 
     def update_map(self, points: np.ndarray, labels: Optional[np.ndarray] = None):
@@ -262,6 +264,7 @@ class MCL3DL:
         self._step = jax.jit(self._measurement_step)
         self._step_global = jax.jit(
             partial(self._measurement_step, global_mode=True))
+        self._step_global_cache = {}
         return self.map
 
     # ------------------------------------------------------------- pose seeds
@@ -507,9 +510,9 @@ class MCL3DL:
 
         # graph selection mirrors the reference's host-side
         # setGlobalLocalizationStatus reconfiguration: above
-        # num_particles the global-mode specialization runs (shrunk
-        # point budgets; beam dropped when its global budget is 0)
-        step = (self._step_global
+        # num_particles a global-mode specialization runs (point budget
+        # bucketed along the reference's ramp; beam dropped)
+        step = (self._global_step_for(self._n_active_host)
                 if self._n_active_host > p.num_particles else self._step)
         (self.pstate, self.f_pos, self.f_ang, self.state_prev_pos,
          self.state_prev_rot, aux) = step(
@@ -782,6 +785,7 @@ class MCL3DL:
         odom_pos, odom_rot, prev_pos, prev_rot,
         f_pos, f_ang, is_global_fix, std_warn_thresh=None,
         *, spmd_safe=False, shard_mesh=None, global_mode=False,
+        global_slots=None,
     ):
         """The fused measurement update (src/mcl_3dl.cpp:363-893 on device).
 
@@ -801,26 +805,30 @@ class MCL3DL:
         pure-XLA likelihood path (the Pallas local-table kernel cannot
         be GSPMD-partitioned).
 
-        ``global_mode=True`` (static) compiles the global-localization
-        specialization: the sampled point arrays are sized at the
-        models' GLOBAL budgets (``num_points_global``; the reference
-        reconfigures the models the same way on the host,
-        setGlobalLocalizationStatus,
+        ``global_mode=True`` (static) compiles a global-localization
+        specialization: the sampled point arrays are sized at
+        ``global_slots`` (default: the likelihood model's
+        ``num_points_global`` floor; the reference reconfigures the
+        models the same way on the host, setGlobalLocalizationStatus,
         lidar_measurement_model_likelihood.cpp:63-77) and a zero beam
         budget drops the raycast march from the graph entirely — the
         reference evaluates only the sampled points, so a graph that
         still marches every full-budget slot with a validity mask pays
         ~10x the honest cost at 100k+ particles.  The host selects the
-        graph from the particle count (``_measure_base``); during the
-        0.75x decay the point ramp is clipped at the global budget
-        until the count returns to ``num_particles`` (deviation: the
-        reference ramps smoothly back to the full budget — here the
-        last decay steps use the floor; the filter re-enters the full
-        graph one update later).
+        graph from the particle count (``_measure_base`` via
+        ``_global_step_for``), following the reference's point ramp
+        through power-of-two ``global_slots`` buckets during the 0.75x
+        decay (one cached compile per bucket; the traced
+        ``active_points`` ramp masks within the bucket).  Remaining
+        deviation: the beam model stays dropped for the whole decay —
+        the reference's beam ramp leaves its 0-point floor only in the
+        last decay step (n_active < 3x num_particles).
         """
         p = self.params
         lp, bp = p.likelihood, p.beam
-        like_slots = lp.num_points_global if global_mode else lp.num_points
+        like_slots = (
+            (global_slots or lp.num_points_global) if global_mode
+            else lp.num_points)
         beam_slots = bp.num_points_global if global_mode else bp.num_points
         use_beam = p.use_beam_model and beam_slots > 0
         beam_slots = max(beam_slots, 1)        # keep array shapes non-empty
@@ -1052,6 +1060,28 @@ class MCL3DL:
         }
         return (final_state, f_pos_out, f_ang_out, new_prev_pos,
                 new_prev_rot, aux)
+
+    def _global_step_for(self, n_active: int):
+        """Global-mode graph for the current particle count: the
+        reference's point ramp (num_points * num_particles / n, floored
+        at num_points_global — lidar_measurement_model_likelihood.cpp:
+        63-77) rounded UP to a power-of-two slot bucket, one cached jit
+        per bucket, so the 0.75x decay follows the ramp instead of
+        pinning the floor for the whole recovery."""
+        p = self.params
+        lp = p.likelihood
+        ramp = max(lp.num_points * p.num_particles // max(n_active, 1),
+                   lp.num_points_global)
+        k = max(lp.num_points_global, 1)
+        while k < min(ramp, lp.num_points):
+            k *= 2
+        k = min(k, lp.num_points)
+        step = self._step_global_cache.get(k)
+        if step is None:
+            step = jax.jit(partial(self._measurement_step,
+                                   global_mode=True, global_slots=k))
+            self._step_global_cache[k] = step
+        return step
 
     # --------------------------------------------------------------- services
 

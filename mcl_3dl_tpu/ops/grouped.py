@@ -82,11 +82,16 @@ from jax.experimental.pallas import tpu as pltpu
 # PARTICLE-COUNT-INDEPENDENT, so small-N workloads (a fleet's 10k
 # particles per robot) can run a much smaller grid where the converged
 # envelopes still fit (tools/exp_fleet_chip.py measures 6x1x1).
-import os as _os_bins
+import os
 
-G_YAW = int(_os_bins.environ.get("MCL_G_YAW", "24"))
-G_PITCH = int(_os_bins.environ.get("MCL_G_PITCH", "2"))
-G_ROLL = int(_os_bins.environ.get("MCL_G_ROLL", "2"))
+G_YAW = int(os.environ.get("MCL_G_YAW", "24"))
+G_PITCH = int(os.environ.get("MCL_G_PITCH", "2"))
+G_ROLL = int(os.environ.get("MCL_G_ROLL", "2"))
+if G_YAW < 1 or G_PITCH not in (1, 2) or G_ROLL not in (1, 2):
+    # pitch/roll binning is a binary above/below-mean split
+    raise ValueError(
+        f"MCL_G_YAW must be >= 1 and MCL_G_PITCH/MCL_G_ROLL in (1, 2); "
+        f"got {G_YAW}x{G_PITCH}x{G_ROLL}")
 G_SPLIT = G_YAW * G_PITCH * G_ROLL
 G_GROUPS = G_SPLIT + 1         # last bin: envelope outliers + inactive
 TILE = 1024
@@ -422,8 +427,6 @@ def extract_tables(field2d, ny, nzp, lo, point_valid, trunc):
     return codes, z_used
 
 
-import os as _os
-
 NBLK = R_ROWS // 16            # 16-row aligned table blocks per window
 # Skip granularity (rows per skip bit): 16 = whole-vreg-block bits
 # (the default), 8 = half-block bits.  Finer bits skip more rows but
@@ -431,8 +434,11 @@ NBLK = R_ROWS // 16            # 16-row aligned table blocks per window
 # at the 1M flagship (633.5 ms vs 574.6 ms engaged, r5 A/B), so 16 is
 # the default and 8 stays as the documented experiment.  Module
 # constant baked into the kernels at trace time.
-SKIP_GRAN = int(_os.environ.get("MCL_SKIP_GRAN", "16"))
-assert SKIP_GRAN in (8, 16)
+SKIP_GRAN = int(os.environ.get("MCL_SKIP_GRAN", "16"))
+if SKIP_GRAN not in (8, 16):
+    # any other value would misalign pack_block_skip's bit layout with
+    # _row_select's per-block bit indexing -> silently wrong skips
+    raise ValueError(f"MCL_SKIP_GRAN must be 8 or 16, got {SKIP_GRAN}")
 NHALF = R_ROWS // SKIP_GRAN    # number of skip bits per window
 SKIP_ALL = (1 << NHALF) - 1    # skip word with every skip bit set
 

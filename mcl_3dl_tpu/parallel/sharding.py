@@ -128,8 +128,16 @@ def fleet_filter_step_grouped(engine, mesh: Mesh):
     robot vs ~45 ms at the default grid, 3.4x the vmap path's best
     per-robot rate, and 1024 robots x 8192 particles fit one v5e chip.
     """
+    if mesh.shape["particles"] != 1:
+        # this path parallelizes over ROBOTS only (the per-robot scan
+        # runs each robot's particles on one device); a >1 particles
+        # axis would make GSPMD all-gather the whole fleet state onto
+        # every particles-axis device for zero benefit
+        raise ValueError(
+            "fleet_filter_step_grouped needs a robots-only mesh "
+            f"(particles axis = 1); got {dict(mesh.shape)} — build it "
+            "with make_mesh(n, robots=n)")
     spec = _state_spec(True)
-    robots_axis = mesh.shape["robots"]
     state_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), spec,
         is_leaf=lambda x: isinstance(x, P),

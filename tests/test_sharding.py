@@ -63,8 +63,13 @@ def test_graft_entry_multichip():
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
     import __graft_entry__ as ge
+    from mcl_3dl_tpu.ops import grouped as og
 
+    before = og.IMPL_OVERRIDE
     ge.dryrun_multichip(8)
+    # no leak: a later real-chip entry()/bench in this process must
+    # still compile the Mosaic kernels, not the emulation tier
+    assert og.IMPL_OVERRIDE == before
 
 
 @pytest.mark.slow
