@@ -124,9 +124,16 @@ def fleet_filter_step_grouped(engine, mesh: Mesh):
     machinery's per-(point, bin) costs are particle-count-independent
     and the default 24x2x2 pose grid is sized for the 1M flagship;
     fleet workloads at ~10k particles/robot should right-size it
-    (``MCL_G_YAW=6 MCL_G_PITCH=1 MCL_G_ROLL=1``) — 5-7 ms marginal per
-    robot vs ~45 ms at the default grid, 3.4x the vmap path's best
-    per-robot rate, and 1024 robots x 8192 particles fit one v5e chip.
+    (``MCL_G_YAW=6 MCL_G_PITCH=1 MCL_G_ROLL=1``) — 7.3 ms per robot,
+    flat from 64 to 768 robots on one chip, vs ~45 ms at the default
+    grid; 1024 robots x 8192 particles fit one v5e chip at 152.8
+    robot-updates/s.
+
+    Placement note: pre-place the inputs with this step's shardings
+    (``shard_state(..., batched=True)`` + ``jax.device_put`` with the
+    robots/replicated NamedShardings) and keep them resident — on a
+    remote-relay environment, per-call placement of unplaced arrays
+    costs ~1.5 s flat per step (tools/exp_fleet_chip.py does this).
     """
     if mesh.shape["particles"] != 1:
         # this path parallelizes over ROBOTS only (the per-robot scan
