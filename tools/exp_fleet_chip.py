@@ -63,8 +63,14 @@ def main():
 
     def build(robots):
         with jax.default_device(cpu):
+            # exact capacity (not the power-of-2 bucket): the fleet's
+            # dominant HBM consumers are [R, capacity, 3] scan temps
+            # that XLA lays out (8, 128)-tiled — 42.7x padded on the
+            # minor dim — so the bucket's 16384-vs-10240 slack costs
+            # ~6 GB at 1024 robots (docs/FLEET_CHIP_1024.json OOM)
             eng, args_cpu = ge._build_engine_and_inputs(
-                num_particles=npart, cloud_points=1024, fast=True)
+                num_particles=npart, cloud_points=1024, fast=True,
+                capacity=npart if npart % 1024 == 0 else None)
             # converged-tracking spread so the per-robot grouped
             # envelopes fit from the first step (same regime the 1M
             # flagship bench reaches after warmup)
