@@ -134,6 +134,13 @@ def fleet_filter_step_grouped(engine, mesh: Mesh):
     robots/replicated NamedShardings) and keep them resident — on a
     remote-relay environment, per-call placement of unplaced arrays
     costs ~1.5 s flat per step (tools/exp_fleet_chip.py does this).
+
+    Capacity note: build fleet engines at the EXACT (TILE-multiple)
+    particle capacity (``MCL3DL(params, capacity=n)``), not the
+    power-of-2 bucket — XLA stores two ``[R, capacity, 3]`` scan temps
+    (8, 128)-tiled, padding the minor dim 42.7x, so bucket slack costs
+    GBs of HBM and dead-slot compute; the exact capacity is what fits
+    BASELINE config 5 (1024 x 10240) on one v5e chip.
     """
     if mesh.shape["particles"] != 1:
         # this path parallelizes over ROBOTS only (the per-robot scan
